@@ -1,0 +1,84 @@
+"""Auction assignment vs scipy Hungarian: total-cost parity on random matrices.
+
+Per SURVEY.md §4(e): tolerance is on total assignment cost, not permutation
+identity (ties make permutations non-unique).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linear_sum_assignment
+
+from object_detection_destr_tpu.ops import auction_assignment, batched_assignment
+
+
+def _total_cost(cost, rows, col_valid):
+    m = cost.shape[1]
+    return sum(cost[rows[j], j] for j in range(m) if col_valid[j])
+
+
+@pytest.mark.parametrize("n,m,seed", [(10, 4, 0), (50, 15, 1), (100, 30, 2), (400, 60, 3)])
+def test_matches_scipy_total_cost(n, m, seed):
+    rng = np.random.default_rng(seed)
+    cost = rng.uniform(-2, 2, (n, m)).astype(np.float32)
+    col_valid = np.ones(m, bool)
+
+    rows = np.asarray(auction_assignment(jnp.asarray(cost), jnp.asarray(col_valid)))
+    # feasibility: distinct rows
+    assert len(set(rows.tolist())) == m
+
+    r_sp, c_sp = linear_sum_assignment(cost.T @ np.eye(m) if False else cost)
+    # scipy assigns min(n, m) pairs; with n >= m it matches every column
+    sp_cost = cost[r_sp, c_sp].sum()
+    got_cost = _total_cost(cost, rows, col_valid)
+    # near-optimality: within 1% of range * m of optimal
+    tol = 0.01 * (cost.max() - cost.min()) * m
+    assert got_cost <= sp_cost + tol, f"auction {got_cost} vs scipy {sp_cost}"
+
+
+def test_respects_column_validity():
+    rng = np.random.default_rng(4)
+    cost = rng.uniform(0, 1, (20, 8)).astype(np.float32)
+    col_valid = np.array([True] * 5 + [False] * 3)
+    rows = np.asarray(auction_assignment(jnp.asarray(cost), jnp.asarray(col_valid)))
+    valid_rows = rows[:5]
+    assert len(set(valid_rows.tolist())) == 5  # valid cols get distinct rows
+
+    # optimal over the valid 5 columns only
+    r_sp, c_sp = linear_sum_assignment(cost[:, :5])
+    sp_cost = cost[r_sp, c_sp].sum()
+    got = _total_cost(cost, rows, col_valid)
+    assert got <= sp_cost + 0.05
+
+
+def test_batched():
+    rng = np.random.default_rng(5)
+    cost = rng.uniform(0, 1, (4, 30, 10)).astype(np.float32)
+    col_valid = np.ones((4, 10), bool)
+    col_valid[2, 7:] = False
+    rows = np.asarray(batched_assignment(jnp.asarray(cost), jnp.asarray(col_valid)))
+    assert rows.shape == (4, 10)
+    for b in range(4):
+        mv = col_valid[b].sum()
+        assert len(set(rows[b, :mv].tolist())) == mv
+        r_sp, c_sp = linear_sum_assignment(cost[b][:, :mv])
+        sp = cost[b][r_sp, c_sp].sum()
+        got = _total_cost(cost[b], rows[b], col_valid[b])
+        assert got <= sp + 0.05 * mv
+
+
+def test_single_target():
+    cost = np.array([[3.0], [1.0], [2.0]], np.float32)
+    rows = np.asarray(auction_assignment(jnp.asarray(cost), jnp.asarray([True])))
+    assert rows[0] == 1  # picks the cheapest row
+
+
+def test_square_permutation():
+    rng = np.random.default_rng(6)
+    cost = rng.uniform(0, 10, (12, 12)).astype(np.float32)
+    rows = np.asarray(auction_assignment(jnp.asarray(cost), jnp.ones(12, bool)))
+    assert sorted(rows.tolist()) == list(range(12))
+    r_sp, c_sp = linear_sum_assignment(cost)
+    sp = cost[r_sp, c_sp].sum()
+    got = _total_cost(cost, rows, np.ones(12, bool))
+    assert got <= sp + 0.1 * 12
