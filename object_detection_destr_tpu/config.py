@@ -1,0 +1,106 @@
+"""Configuration tree for models, data, and training.
+
+One dataclass hierarchy replaces the reference's two argparse parsers
+(arg_parser.py:14-137, 140-220); the CLI drivers in ``train/`` expose flags
+with the reference's names and defaults for parity.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Sequence
+
+
+@dataclasses.dataclass(frozen=True)
+class DestrConfig:
+    """DESTR split-transformer config (reference defaults: arg_parser.py:14-137)."""
+
+    hidden_dim: int = 256
+    num_heads: int = 8
+    num_encoder_blocks: int = 6
+    num_decoder_blocks: int = 6
+    top_k: int = 300
+    num_cls: int = 2
+    dropout: float = 0.3
+    ffn_dim: int = 2048  # encoder FFN width (encoder_block.py:64)
+    lambda_pair: float = 0.5  # self/pair attention blend (decoder_block.py:73)
+    backbone: str = "resnet50"
+    dilation: bool = False  # replace C5 stride with dilation (backbone.py:139-143)
+    # "reference": softmax before /sqrt(2d) as in pair_self_attention.py:98;
+    # "paper": scale logits before softmax (DESTR paper form)
+    pair_mode: str = "reference"
+    # pair-attention output half selection; "reference" reproduces the
+    # flatten-order quirk of pair_self_attention.py:99-105 (see REFCOMPAT.md)
+    pair_output_mode: str = "reference"
+    compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
+
+
+@dataclasses.dataclass(frozen=True)
+class SSDConfig:
+    """SSD config (reference defaults: arg_parser.py:140-220, model_ssd.py:6-21)."""
+
+    num_cls: int = 20
+    scale_min: float = 0.2
+    scale_max: float = 0.9
+    image_size: int = 300
+    # per-scale anchors and grids (model_ssd.py:11; matcher.py:214 uses 37)
+    anchors_per_scale: Sequence[int] = (4, 6, 6, 6, 4, 4)
+    feature_shapes: Sequence[int] = (37, 19, 10, 5, 3, 1)
+    aspect_ratios: Sequence[Sequence[int]] = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,))
+    compute_dtype: str = "float32"
+
+    @property
+    def scales(self) -> list[float]:
+        """7 scales: arange(min, max+step, step) with step=(max-min)/5
+        (matcher.py:203-210)."""
+        step = (self.scale_max - self.scale_min) / 5
+        return [self.scale_min + i * step for i in range(7)]
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    """Training config (reference defaults: arg_parser.py:14-96)."""
+
+    lr: float = 1e-5
+    lr_backbone: float = 1e-4  # 0 freezes the backbone entirely
+    epochs: int = 10
+    batch_size: int = 12
+    set_cost_class: float = 0.5
+    set_cost_bbox: float = 0.0
+    set_cost_ciou: float = 0.5
+    coef_class_loss: float = 0.5  # SSD class/local blend
+    augment_factor: int = 5
+    resume: bool = False
+    resume_from: str = "model_weights"
+    save_as: str = "model_weights"
+    checkpoint_dir: str = "checkpoints"
+    log_dir: str = "runs"
+    log_interval: int = 100
+    seed: int = 0
+    # model-loss / mini-detector-loss blend (train.py:172-175)
+    model_loss_weight: float = 0.7
+    det_loss_weight: float = 0.3
+    # data
+    image_size: int = 640
+    max_targets: int = 300  # dataset.py:54 caps GT boxes at 300
+    # parallelism
+    num_data_shards: int = 1  # devices on the 'data' mesh axis
+
+
+@dataclasses.dataclass(frozen=True)
+class DataConfig:
+    dataset: str = "synthetic"  # synthetic | widerface | voc | coco
+    root: str = "dataset"
+    image_size: int = 640
+    max_targets: int = 300
+    augment_factor: int = 5
+    num_train_samples: int = 64  # synthetic only
+    num_valid_samples: int = 16  # synthetic only
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    destr: DestrConfig = dataclasses.field(default_factory=DestrConfig)
+    ssd: SSDConfig = dataclasses.field(default_factory=SSDConfig)
+    train: TrainConfig = dataclasses.field(default_factory=TrainConfig)
+    data: DataConfig = dataclasses.field(default_factory=DataConfig)

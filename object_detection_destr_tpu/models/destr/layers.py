@@ -1,0 +1,71 @@
+"""Shared flax building blocks for the DESTR transformer."""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.attention import scaled_dot_product_attention, split_heads
+
+__all__ = ["Mlp", "MultiHeadAttention"]
+
+
+class Mlp(nn.Module):
+    """Linear stack with ReLU between layers (no final activation).
+
+    Used for the shared heads: bbox_embed 256->256->4 (model.py:33-39),
+    reg_ffn 256->256->256->2 (model.py:40-50), pos_scale MLPs
+    (encoder_block.py:17-21, decoder_block.py:21-25, model.py:51-57).
+    """
+
+    features: Sequence[int]
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        for i, f in enumerate(self.features):
+            x = nn.Dense(f, name=f"fc{i}")(x)
+            if i < len(self.features) - 1:
+                x = nn.relu(x)
+        return x
+
+
+class MultiHeadAttention(nn.Module):
+    """Torch-``nn.MultiheadAttention``-equivalent MHA, batch-first.
+
+    Separate q/k/v input projections + output projection, all with bias
+    (matching the capacity of the reference's encoder attention,
+    encoder_block.py:57-63). Dropout is applied to attention probabilities
+    and disabled when ``deterministic`` — fixing the reference's
+    always-on eval dropout (self_attention.py:40).
+    """
+
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        query: jnp.ndarray,
+        key: jnp.ndarray,
+        value: jnp.ndarray,
+        key_valid_mask: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        d = query.shape[-1]
+        q = nn.Dense(d, name="q_proj")(query)
+        k = nn.Dense(d, name="k_proj")(key)
+        v = nn.Dense(d, name="v_proj")(value)
+        rng = None
+        if not deterministic and self.dropout > 0:
+            rng = self.make_rng("dropout")
+        out = scaled_dot_product_attention(
+            split_heads(q, self.num_heads),
+            split_heads(k, self.num_heads),
+            split_heads(v, self.num_heads),
+            key_valid_mask=key_valid_mask,
+            dropout_rate=self.dropout,
+            dropout_rng=rng,
+        )
+        return nn.Dense(d, name="out_proj")(out)

@@ -1,0 +1,118 @@
+"""DESTR mini-detector: dense per-token detection seeding the decoder queries.
+
+Re-design of the reference MiniDetector (mini_detector.py:7-172):
+
+* three 4x(3x3 conv + BN) stacks over the encoder map — cls on encoder
+  features, reg on encoder features, pos on the fine positional map
+  (mini_detector.py:109-130). The reference mis-wires the BN layers of the
+  reg/pos stacks into the cls ModuleList (mini_detector.py:45, 58 — SURVEY.md
+  §2.1 #6 defect); here each stack gets its own BNs as intended.
+* the cls/bbox/pos heads are the *shared* top-level modules (wired at
+  model.py:66-71) — sharing happens via flax module passing.
+* dense outputs: ``det_output = {pred_class (B,HW,num_cls) logits,
+  pred_boxes (B,HW,4) sigmoid(cxcyhw)}`` with the pos-branch center offset
+  added pre-sigmoid (mini_detector.py:124-135).
+* top-k query selection by max sigmoid class score over valid tokens with
+  index recycling — vectorized on device (ops/topk.py) instead of the
+  reference's per-image host loop (mini_detector.py:82-97). k is static
+  (REFCOMPAT.md: the reference's dynamic ``avail_k`` keyed on image 0's valid
+  count — mini_detector.py:153-154 — is itself flagged as a defect).
+* selected features/centers are ``stop_gradient``-ed like the reference's
+  ``.detach()`` (mini_detector.py:162-170): gradients reach the encoder only
+  through the dense det_output losses.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.topk import masked_topk_with_recycle
+
+__all__ = ["MiniDetector"]
+
+
+class ConvBnStack(nn.Module):
+    """4x (3x3 same conv + BatchNorm), no activation (matching the reference
+    stacks, which interleave conv/BN without nonlinearities)."""
+
+    hidden_dim: int = 256
+    num_layers: int = 4
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        for i in range(self.num_layers):
+            x = nn.Conv(self.hidden_dim, (3, 3), padding="SAME", name=f"conv{i}")(x)
+            x = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, name=f"bn{i}"
+            )(x)
+        return x
+
+
+class MiniDetector(nn.Module):
+    """Args at call time:
+        features: (B, H, W, C) encoder output map.
+        fine_pos: (B, H, W, C) scaled positional map.
+        valid_mask: (B, H, W) bool.
+
+    Returns:
+        selected_objects: (B, k, 2C) — stop-gradient'ed concat(cls, reg) feats.
+        selected_centers: (B, k, 2) — stop-gradient'ed box centers.
+        det_output: {"pred_class": (B, HW, num_cls) logits,
+                     "pred_boxes": (B, HW, 4) cxcyhw in [0,1]}
+    """
+
+    top_k: int
+    cls_embed: nn.Module  # shared Linear(C -> num_cls)
+    bbox_embed: nn.Module  # shared MLP C -> C -> 4
+    pos_head: nn.Module  # shared MLP C -> C -> C -> 2 (reference `reg_ffn`)
+    hidden_dim: int = 256
+
+    @nn.compact
+    def __call__(
+        self,
+        features: jnp.ndarray,
+        fine_pos: jnp.ndarray,
+        valid_mask: jnp.ndarray,
+        train: bool = False,
+    ):
+        b, h, w, c = features.shape
+        flat_valid = valid_mask.reshape(b, h * w)
+
+        def mask_tokens(t):
+            return jnp.where(flat_valid[..., None], t, 0.0)
+
+        cls_x = ConvBnStack(self.hidden_dim, name="cls_conv")(features, train)
+        cls_feats = mask_tokens(cls_x.reshape(b, h * w, c))
+        det_class = self.cls_embed(cls_feats)  # (B, HW, num_cls) logits
+
+        pos_x = ConvBnStack(self.hidden_dim, name="pos_conv")(fine_pos, train)
+        pos_feats = mask_tokens(pos_x.reshape(b, h * w, c))
+        center_offset = self.pos_head(pos_feats)  # (B, HW, 2)
+
+        reg_x = ConvBnStack(self.hidden_dim, name="reg_conv")(features, train)
+        reg_feats = mask_tokens(reg_x.reshape(b, h * w, c))
+        bbox = self.bbox_embed(reg_feats)  # (B, HW, 4)
+        bbox = bbox.at[..., :2].add(center_offset)
+        det_boxes = jax.nn.sigmoid(bbox)
+
+        det_output = {"pred_class": det_class, "pred_boxes": det_boxes}
+
+        # query selection: max sigmoid class score, invalid tokens zeroed
+        # (mini_detector.py:78-81, 149-151)
+        scores = jnp.max(jax.nn.sigmoid(det_class), axis=-1)
+        k = min(self.top_k, h * w)
+        topk_idx = masked_topk_with_recycle(scores, k, flat_valid)  # (B, k)
+
+        object_feats = jnp.concatenate([cls_feats, reg_feats], axis=-1)  # (B, HW, 2C)
+        take = lambda t: jnp.take_along_axis(
+            t, topk_idx[..., None], axis=1
+        )
+        selected_objects = jax.lax.stop_gradient(take(object_feats))
+        centers = jnp.where(flat_valid[..., None], det_boxes, 0.0)[..., :2]
+        selected_centers = jax.lax.stop_gradient(take(centers))
+
+        return selected_objects, selected_centers, det_output
