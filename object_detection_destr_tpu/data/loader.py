@@ -1,0 +1,160 @@
+"""Batching host loader: fixed canvas, padded targets, deterministic order.
+
+Replaces the reference's ``torch.utils.data.DataLoader`` + collate functions
+(src/dataset/dataset.py:143-161) with a dependency-free iterator that:
+
+* resizes every decoded image to one fixed square canvas (device-side crops
+  do the rest — no per-batch max-size NestedTensor padding, misc.py:26-45);
+* pads targets to ``(max_targets, 4)`` + bool validity mask;
+* implements virtual epoch expansion (``len = base * augment_factor``,
+  index mod base — dataset.py:33-37);
+* is deterministically seekable: ``state_dict()/load_state_dict()`` capture
+  (epoch, step) so checkpoint resume replays the exact data order
+  (SURVEY.md §5: the reference loses the epoch on crash);
+* overlaps host decode with device compute via a background prefetch thread.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+__all__ = ["DetectionLoader"]
+
+
+def _resize_canvas(image: np.ndarray, canvas: int) -> np.ndarray:
+    """Resize HWC uint8 to (canvas, canvas, 3). cv2 when available (3-5x
+    faster than PIL), PIL fallback."""
+    try:
+        import cv2
+
+        return cv2.resize(image, (canvas, canvas), interpolation=cv2.INTER_LINEAR)
+    except Exception:
+        from PIL import Image
+
+        return np.asarray(
+            Image.fromarray(image).resize((canvas, canvas), Image.BILINEAR)
+        )
+
+
+class DetectionLoader:
+    """Iterate padded numpy batches.
+
+    Batch: {"images": (B, C, C, 3) uint8, "boxes": (B, T, 4) xyxy norm,
+            "labels": (B, T) int32, "valid": (B, T) bool}
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        canvas_size: int = 672,
+        max_targets: int = 300,
+        augment_factor: int = 1,
+        shuffle: bool = True,
+        seed: int = 0,
+        drop_last: bool = True,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.canvas_size = canvas_size
+        self.max_targets = max_targets
+        self.augment_factor = max(augment_factor, 1)
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+        self._start_step = 0
+
+    @property
+    def num_samples(self) -> int:
+        return len(self.dataset) * self.augment_factor
+
+    def __len__(self) -> int:
+        n = self.num_samples
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    # ---- deterministic resume ------------------------------------------
+    def state_dict(self) -> dict:
+        return {"epoch": self.epoch, "step": self._step}
+
+    def load_state_dict(self, state: dict) -> None:
+        self.epoch = int(state["epoch"])
+        self._start_step = int(state["step"])
+
+    # ---- iteration ------------------------------------------------------
+    def _epoch_order(self) -> np.ndarray:
+        order = np.arange(self.num_samples)
+        if self.shuffle:
+            rng = np.random.default_rng((self.seed, self.epoch))
+            rng.shuffle(order)
+        return order
+
+    def _make_batch(self, idxs: np.ndarray) -> dict:
+        c, t = self.canvas_size, self.max_targets
+        b = len(idxs)
+        boxes = np.zeros((b, t, 4), np.float32)
+        labels = np.zeros((b, t), np.int32)
+        valid = np.zeros((b, t), bool)
+        raw_images = []
+        for j, virtual_idx in enumerate(idxs):
+            img, bx, lb = self.dataset[int(virtual_idx) % len(self.dataset)]
+            raw_images.append(img)
+            n = min(len(bx), t)
+            if n:
+                boxes[j, :n] = bx[:n]
+                labels[j, :n] = lb[:n]
+                valid[j, :n] = True
+        # native C++ thread-pool resize when built (runtime/), cv2/PIL fallback
+        from ..runtime import native as _native
+
+        if _native.is_available():
+            images = _native.batch_resize(raw_images, c)
+        else:
+            images = np.zeros((b, c, c, 3), np.uint8)
+            for j, img in enumerate(raw_images):
+                images[j] = _resize_canvas(img, c)
+        return {"images": images, "boxes": boxes, "labels": labels, "valid": valid}
+
+    def __iter__(self) -> Iterator[dict]:
+        order = self._epoch_order()
+        n_batches = len(self)
+        start = self._start_step
+        self._start_step = 0
+
+        def batches():
+            for step in range(start, n_batches):
+                self._step = step + 1
+                lo = step * self.batch_size
+                yield self._make_batch(order[lo : lo + self.batch_size])
+            self.epoch += 1
+            self._step = 0
+
+        self._step = start
+        if self.prefetch <= 0:
+            yield from batches()
+            return
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        sentinel = object()
+
+        def worker():
+            try:
+                for item in batches():
+                    q.put(item)
+            finally:
+                q.put(sentinel)
+
+        th = threading.Thread(target=worker, daemon=True)
+        th.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        th.join()

@@ -1,0 +1,165 @@
+"""On-device matchers.
+
+``hungarian_match`` rebuilds the reference's DETR-style matchers
+(matcher.py:30-119 ``HungarianMatcher`` and :122-196 ``HungarianMatcherWoL1``
+— the WoL1 variant is ``cost_bbox=0``) without the host round-trip: the cost
+matrix stays on device and the assignment is solved by the batched auction
+kernel (ops/assignment.py) instead of per-image scipy
+(matcher.py:107-119, 184-196).
+
+``ssd_match`` rebuilds ``SimpleMatcher`` (matcher.py:199-283) as a dense
+(B, S, T) match matrix instead of ragged per-image pair lists.
+
+REFCOMPAT notes:
+    * The reference's ``build_matcher(matcher_cls, args)`` call chain is
+      broken as written (SURVEY.md §2.1 #12); the intended configuration —
+      ``HungarianMatcherWoL1(cost_class=1, cost_ciou=1)`` — is what the
+      training driver here uses by default.
+    * ``HungarianMatcher``'s L1 term mixes cxcyhw predictions with xyxy
+      targets (matcher.py:96: ``cdist(out_bbox, tgt_bbox)`` with no
+      conversion). We reproduce that exact cost when ``cost_bbox != 0`` so
+      the full-variant cost matrix is comparable.
+"""
+
+from __future__ import annotations
+
+from typing import Mapping
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.boxes import cxcyhw_to_xyxy, pairwise_ciou, pairwise_iou
+from ..ops.assignment import batched_assignment
+from ..ops.focal import focal_cost_terms
+
+__all__ = ["hungarian_cost_matrix", "hungarian_match", "decode_ssd_boxes", "ssd_match"]
+
+
+def hungarian_cost_matrix(
+    outputs: Mapping[str, jnp.ndarray],
+    targets: Mapping[str, jnp.ndarray],
+    cost_class: float = 1.0,
+    cost_bbox: float = 0.0,
+    cost_ciou: float = 1.0,
+) -> jnp.ndarray:
+    """(B, N, T) matching cost.
+
+    Args:
+        outputs: {"pred_class": (B, N, C) logits, "pred_boxes": (B, N, 4) cxcyhw}.
+        targets: {"boxes": (B, T, 4) xyxy, "labels": (B, T) int, "valid": (B, T)}.
+
+    Class cost is the focal pos-minus-neg form at the target's label
+    (matcher.py:87-93, 171-177); CIoU cost is the 1-CIoU matrix
+    (matcher.py:99, 180); L1 cost, when weighted, reproduces the reference's
+    raw ``cdist`` between cxcyhw predictions and xyxy targets (matcher.py:96).
+    """
+    out_prob = jax.nn.sigmoid(jnp.asarray(outputs["pred_class"], jnp.float32))
+    out_bbox = jnp.asarray(outputs["pred_boxes"], jnp.float32)  # (B, N, 4) cxcyhw
+
+    tgt_ids = targets["labels"].astype(jnp.int32)  # (B, T)
+    tgt_bbox = jnp.asarray(targets["boxes"], jnp.float32)  # (B, T, 4) xyxy
+
+    pos, neg = focal_cost_terms(out_prob)  # (B, N, C) each
+    # cost_class[b, n, t] = pos[b, n, tgt[b, t]] - neg[b, n, tgt[b, t]]
+    gather_ids = tgt_ids[:, None, :]  # (B, 1, T)
+    c_class = jnp.take_along_axis(
+        pos, jnp.broadcast_to(gather_ids, pos.shape[:2] + (tgt_ids.shape[1],)), axis=-1
+    ) - jnp.take_along_axis(
+        neg, jnp.broadcast_to(gather_ids, neg.shape[:2] + (tgt_ids.shape[1],)), axis=-1
+    )
+
+    cost = cost_class * c_class
+    if cost_ciou:
+        cost = cost + cost_ciou * pairwise_ciou(cxcyhw_to_xyxy(out_bbox), tgt_bbox)
+    if cost_bbox:
+        l1 = jnp.sum(
+            jnp.abs(out_bbox[:, :, None, :] - tgt_bbox[:, None, :, :]), axis=-1
+        )
+        cost = cost + cost_bbox * l1
+    return cost
+
+
+def hungarian_match(
+    outputs: Mapping[str, jnp.ndarray],
+    targets: Mapping[str, jnp.ndarray],
+    cost_class: float = 1.0,
+    cost_bbox: float = 0.0,
+    cost_ciou: float = 1.0,
+    eps_frac: float = 0.001,
+    max_iters: int = 256,
+) -> jnp.ndarray:
+    """Batched min-cost assignment of targets to queries.
+
+    Returns:
+        rows: (B, T) int32 — ``rows[b, t]`` is the query matched to target t
+        (duplicate-free; meaningful only where ``targets["valid"]``).
+    """
+    cost = hungarian_cost_matrix(outputs, targets, cost_class, cost_bbox, cost_ciou)
+    return batched_assignment(cost, targets["valid"], eps_frac=eps_frac, max_iters=max_iters)
+
+
+def decode_ssd_boxes(
+    pred_boxes: jnp.ndarray, anchors: jnp.ndarray
+) -> jnp.ndarray:
+    """Decode predicted offsets against default boxes -> cxcyhw.
+
+    Mirrors SimpleMatcher's decode (matcher.py:240-251):
+        cx = a_cx + a_w * dx;  cy = a_cy + a_h * dy;
+        h = a_h * exp(dh);     w = a_w * exp(dw).
+    ``anchors`` layout is (..., 4) = (cy-ish, cx-ish, h, w) exactly as produced
+    by geometry.default_boxes — on square grids the reference's (y, x) center
+    mix-up is self-consistent and we keep it bit-for-bit.
+
+    Args:
+        pred_boxes: (B, S, 4) raw head outputs (dx, dy, dh, dw).
+        anchors: (S, 4) flattened default boxes.
+    """
+    a = anchors[None]
+    return jnp.stack(
+        [
+            a[..., 0] + a[..., 3] * pred_boxes[..., 0],
+            a[..., 1] + a[..., 2] * pred_boxes[..., 1],
+            a[..., 2] * jnp.exp(pred_boxes[..., 2]),
+            a[..., 3] * jnp.exp(pred_boxes[..., 3]),
+        ],
+        axis=-1,
+    )
+
+
+def ssd_match(
+    decoded_xyxy: jnp.ndarray,
+    gt_xyxy: jnp.ndarray,
+    gt_valid: jnp.ndarray,
+    iou_thresh: float = 0.5,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """SSD anchor matching as a dense match matrix.
+
+    Reference rule (matcher.py:253-270): for each GT, force-match its
+    best-IoU prediction (and zero that IoU entry), then additionally match
+    every (pred, gt) pair with IoU >= 0.5. Positives are predictions matched
+    to at least one GT; the rest are negatives.
+
+    Args:
+        decoded_xyxy: (B, S, 4) decoded predicted boxes.
+        gt_xyxy: (B, T, 4); gt_valid: (B, T) bool.
+
+    Returns:
+        match: (B, S, T) bool — True where (pred s, gt t) is a matched pair.
+        positive: (B, S) bool — preds matched to >= 1 GT. Negatives are
+        ``~positive`` (every anchor is scored, as in matcher.py:272-281).
+    """
+    iou = pairwise_iou(decoded_xyxy, gt_xyxy)  # (B, S, T)
+    iou = jnp.where(gt_valid[:, None, :], iou, -1.0)
+
+    s = decoded_xyxy.shape[1]
+    best_pred = jnp.argmax(iou, axis=1)  # (B, T)
+    forced = (
+        jnp.arange(s)[None, :, None] == best_pred[:, None, :]
+    ) & gt_valid[:, None, :]
+
+    # the reference zeroes forced entries before thresholding, so a forced
+    # pair doesn't double-enter via the IoU rule (matcher.py:255-257)
+    iou_wo_forced = jnp.where(forced, 0.0, iou)
+    match = forced | (iou_wo_forced >= iou_thresh)
+    positive = jnp.any(match, axis=-1)
+    return match, positive

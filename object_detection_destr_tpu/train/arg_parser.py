@@ -1,0 +1,116 @@
+"""CLI flags mirroring the reference's two argparse parsers
+(src/train/arg_parser.py:14-137 DESTR, :140-220 SSD) — same names and
+defaults for drop-in parity — plus the handful of knobs the TPU build adds
+(dataset selection, mesh size, compute dtype)."""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+
+from ..config import Config, DataConfig, DestrConfig, SSDConfig, TrainConfig
+
+__all__ = ["get_parser", "config_from_args"]
+
+
+def _common(p: argparse.ArgumentParser) -> None:
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--lr_backbone", type=float, default=1e-4)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--batch_size", type=int, default=12)
+    p.add_argument("--augment_factor", type=int, default=5)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--resume_from", type=str, default="model_weights")
+    p.add_argument("--save_as", type=str, default="model_weights")
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--log_dir", type=str, default="runs")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--log_interval", type=int, default=100)
+    # the reference's --device selects cuda/cpu (arg_parser.py:85-89);
+    # here devices come from the mesh — the flag is accepted and ignored
+    p.add_argument("--device", type=str, default="tpu")
+    # TPU-build additions
+    p.add_argument("--dataset", type=str, default="synthetic",
+                   choices=["synthetic", "widerface", "voc", "coco"])
+    p.add_argument("--data_root", type=str, default="dataset")
+    p.add_argument("--num_train_samples", type=int, default=64)
+    p.add_argument("--num_valid_samples", type=int, default=16)
+    p.add_argument("--compute_dtype", type=str, default="bfloat16",
+                   choices=["float32", "bfloat16"])
+
+
+def get_parser(model_name: str = "destr") -> argparse.ArgumentParser:
+    """Parser factory keyed by model name (arg_parser.py:4-11)."""
+    p = argparse.ArgumentParser(f"object_detection_destr_tpu {model_name} training")
+    _common(p)
+    if model_name == "destr":
+        p.add_argument("--set_cost_class", type=float, default=0.5)
+        p.add_argument("--set_cost_bbox", type=float, default=0.0)
+        p.add_argument("--set_cost_ciou", type=float, default=0.5)
+        p.add_argument("--num_encoder_blocks", type=int, default=6)
+        p.add_argument("--num_decoder_blocks", type=int, default=6)
+        p.add_argument("--top_k", type=int, default=300)
+        p.add_argument("--num_cls", type=int, default=2)
+        p.add_argument("--hidden_dim", type=int, default=256)
+        p.add_argument("--backbone", type=str, default="resnet50",
+                       choices=["resnet50", "resnet101"])
+        p.add_argument("--dilation", action="store_true")
+        p.add_argument("--image_size", type=int, default=640)
+    elif model_name == "ssd":
+        p.add_argument("--coef_class_loss", type=float, default=0.5)
+        p.add_argument("--num_cls", type=int, default=20)
+        p.add_argument("--scale_min", type=float, default=0.2)
+        p.add_argument("--scale_max", type=float, default=0.9)
+        p.add_argument("--image_size", type=int, default=300)
+    else:
+        raise ValueError(f"unknown model {model_name!r}")
+    return p
+
+
+def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
+    train = TrainConfig(
+        lr=args.lr,
+        lr_backbone=args.lr_backbone,
+        epochs=args.epochs,
+        batch_size=args.batch_size,
+        set_cost_class=getattr(args, "set_cost_class", 0.5),
+        set_cost_bbox=getattr(args, "set_cost_bbox", 0.0),
+        set_cost_ciou=getattr(args, "set_cost_ciou", 0.5),
+        coef_class_loss=getattr(args, "coef_class_loss", 0.5),
+        augment_factor=args.augment_factor,
+        resume=args.resume,
+        resume_from=args.resume_from,
+        save_as=args.save_as,
+        checkpoint_dir=args.checkpoint_dir,
+        log_dir=args.log_dir,
+        seed=args.seed,
+        log_interval=args.log_interval,
+        image_size=getattr(args, "image_size", 640),
+    )
+    destr = DestrConfig(
+        hidden_dim=getattr(args, "hidden_dim", 256),
+        num_encoder_blocks=getattr(args, "num_encoder_blocks", 6),
+        num_decoder_blocks=getattr(args, "num_decoder_blocks", 6),
+        top_k=getattr(args, "top_k", 300),
+        num_cls=getattr(args, "num_cls", 2) if model_name == "destr" else 2,
+        backbone=getattr(args, "backbone", "resnet50"),
+        dilation=getattr(args, "dilation", False),
+        compute_dtype=args.compute_dtype,
+    )
+    ssd = SSDConfig(
+        num_cls=getattr(args, "num_cls", 20) if model_name == "ssd" else 20,
+        scale_min=getattr(args, "scale_min", 0.2),
+        scale_max=getattr(args, "scale_max", 0.9),
+        image_size=getattr(args, "image_size", 300) if model_name == "ssd" else 300,
+        compute_dtype=args.compute_dtype,
+    )
+    data = DataConfig(
+        dataset=args.dataset,
+        root=args.data_root,
+        image_size=256 if args.dataset == "synthetic" else 640,
+        max_targets=300,
+        augment_factor=args.augment_factor,
+        num_train_samples=args.num_train_samples,
+        num_valid_samples=args.num_valid_samples,
+    )
+    return Config(destr=destr, ssd=ssd, train=train, data=data)

@@ -1,0 +1,84 @@
+"""Orbax checkpointing with working resume.
+
+The reference saves a raw ``state_dict`` on best val loss
+(train.py:123-128) but both of its restore paths are broken (wrong flag
+name at model.py:144-152; wrong payload format at misc.py:152-159 —
+SURVEY.md §3.4). Here a checkpoint is one atomic Orbax pytree:
+{train state (params + BN stats + optimizer + step + PRNG), loader state
+(epoch, step), best-val bookkeeping} — restart-based recovery is exact,
+including the data order (loader.load_state_dict).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+__all__ = ["save_checkpoint", "restore_checkpoint", "latest_step"]
+
+
+def _ckpt_dir(checkpoint_dir: str, name: str) -> str:
+    return os.path.abspath(os.path.join(checkpoint_dir, name))
+
+
+def save_checkpoint(
+    checkpoint_dir: str,
+    name: str,
+    state: Any,
+    loader_state: Optional[dict] = None,
+    best_val: Optional[float] = None,
+) -> str:
+    """Atomically write {state, loader, best_val} under checkpoint_dir/name."""
+    path = _ckpt_dir(checkpoint_dir, name)
+    payload = {
+        "state": jax.device_get(state),
+        "loader": loader_state or {},
+        "best_val": np.asarray(best_val if best_val is not None else np.inf),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    if os.path.exists(path):
+        # orbax refuses to overwrite; stage-and-swap for atomicity
+        import shutil
+
+        tmp = path + ".new"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        ckptr.save(tmp, payload)
+        ckptr.wait_until_finished()
+        old = path + ".old"
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        os.rename(path, old)
+        os.rename(tmp, path)
+        shutil.rmtree(old)
+    else:
+        ckptr.save(path, payload)
+        ckptr.wait_until_finished()
+    return path
+
+
+def restore_checkpoint(checkpoint_dir: str, name: str, state_template: Any) -> dict:
+    """Restore into the structure of ``state_template``.
+
+    Returns {"state", "loader", "best_val"}; raises FileNotFoundError if the
+    checkpoint does not exist (the reference silently trained from scratch).
+    """
+    path = _ckpt_dir(checkpoint_dir, name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    template = {
+        "state": jax.device_get(state_template),
+        "loader": {"epoch": 0, "step": 0},
+        "best_val": np.asarray(np.inf),
+    }
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(path, template)
+    return restored
+
+
+def latest_step(restored: dict) -> int:
+    return int(np.asarray(restored["state"].step))

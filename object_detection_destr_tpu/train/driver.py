@@ -1,0 +1,274 @@
+"""Epoch drivers for DESTR and SSD training.
+
+Mirrors the observable behavior of the reference drivers
+(train.py:21-138, train_ssd.py:22-91): per-epoch train + validation loss
+sweeps, epoch-level mAP (DESTR), best-checkpoint-on-lowest-model-val-loss,
+TensorBoard-style scalar tags, epoch wall-clock prints — minus the defects
+(writer closed mid-loop at train.py:138; broken resume; per-step host syncs).
+
+TPU-first differences:
+    * augmentation is jitted and runs on device right after the host batch
+      lands (data/transforms.py);
+    * the train step (forward + matcher + losses + backward + update) is one
+      XLA program; metrics are fetched once per log interval;
+    * with more than one device, batches shard over the ('data',) mesh axis
+      and XLA all-reduces gradients over ICI.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import Config
+from ..data import DetectionLoader, build_dataset
+from ..data.transforms import (
+    destr_eval_transform,
+    destr_train_transform,
+    ssd_eval_transform,
+    ssd_train_transform,
+)
+from ..losses.metrics import MeanAveragePrecision
+from ..models.destr.model import build_destr
+from ..models.ssd.model import build_ssd
+from ..parallel.mesh import auto_mesh, replicated_sharding, shard_batch
+from .checkpoint import restore_checkpoint, save_checkpoint
+from .logging_utils import MetricLogger
+from .optim import build_optimizer
+from .state import create_destr_state, create_ssd_state
+from .steps import (
+    make_destr_eval_step,
+    make_destr_train_step,
+    make_ssd_eval_step,
+    make_ssd_train_step,
+)
+
+__all__ = ["train_destr", "train_ssd"]
+
+
+def _make_loaders(config: Config, canvas: int, for_train_model: str):
+    data = config.data
+    num_classes = {"destr": 1, "ssd": config.ssd.num_cls}[for_train_model]
+    train_ds = build_dataset(
+        data.dataset,
+        data.root,
+        "train",
+        image_size=data.image_size,
+        num_samples=data.num_train_samples,
+        num_classes=num_classes,
+        max_items_per_img=data.max_targets,
+        seed=config.train.seed,
+    )
+    valid_split = "valid" if data.dataset in ("voc",) else (
+        "val" if data.dataset in ("widerface",) else
+        ("val2017" if data.dataset == "coco" else "valid")
+    )
+    valid_ds = build_dataset(
+        data.dataset,
+        data.root,
+        valid_split,
+        image_size=data.image_size,
+        num_samples=data.num_valid_samples,
+        num_classes=num_classes,
+        max_items_per_img=data.max_targets,
+        seed=config.train.seed,
+    )
+    train_loader = DetectionLoader(
+        train_ds,
+        batch_size=config.train.batch_size,
+        canvas_size=canvas,
+        max_targets=data.max_targets,
+        augment_factor=data.augment_factor,
+        shuffle=True,
+        seed=config.train.seed,
+    )
+    valid_loader = DetectionLoader(
+        valid_ds,
+        batch_size=config.train.batch_size,
+        canvas_size=canvas,
+        max_targets=data.max_targets,
+        augment_factor=1,
+        shuffle=True,  # reference shuffles the val loader too (train.py:284-290)
+        seed=config.train.seed + 1,
+    )
+    return train_loader, valid_loader
+
+
+def _device_batch(raw: dict, transform: Callable, mesh, rng=None):
+    """Shard the host batch, then run the jitted augment on device."""
+    batch = shard_batch(
+        {
+            "images": raw["images"],
+            "boxes": raw["boxes"],
+            "labels": raw["labels"],
+            "valid": raw["valid"],
+        },
+        mesh,
+    )
+    if rng is not None:
+        return transform(batch["images"], batch["boxes"], batch["labels"], batch["valid"], rng)
+    return transform(batch["images"], batch["boxes"], batch["labels"], batch["valid"])
+
+
+def train_destr(config: Config, mesh=None) -> dict:
+    """Train DESTR; returns {"best_val", "map", "state"}."""
+    cfg_t = config.train
+    mesh = mesh or auto_mesh(cfg_t.batch_size)
+    model = build_destr(config.destr)
+    state, tx = create_destr_state(model, cfg_t, image_size=cfg_t.image_size)
+    train_step = make_destr_train_step(model, tx, cfg_t)
+    eval_step = make_destr_eval_step(model, cfg_t)
+    metric = MeanAveragePrecision(num_cls=1, num_pred=config.destr.top_k)
+
+    canvas = int(cfg_t.image_size * 672 / 640)  # reference eval geometry
+    train_loader, valid_loader = _make_loaders(config, canvas, "destr")
+
+    logger = MetricLogger(cfg_t.log_dir)
+    best_val = np.inf
+    if cfg_t.resume:
+        restored = restore_checkpoint(cfg_t.checkpoint_dir, cfg_t.resume_from, state)
+        state = restored["state"]
+        train_loader.load_state_dict(restored["loader"])
+        best_val = float(restored["best_val"])
+    # params/opt state replicated over the mesh (batch shards on 'data')
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    aug_rng = jax.random.key(cfg_t.seed + 7)
+    out_size = cfg_t.image_size
+    train_tf = lambda im, bx, lb, vd, key: destr_train_transform(
+        im, bx, lb, vd, key, out_size=out_size
+    )
+    eval_tf = lambda im, bx, lb, vd: destr_eval_transform(
+        im, bx, lb, vd, resize_to=canvas, out_size=out_size
+    )
+
+    last_map = 0.0
+    for epoch in range(cfg_t.epochs):
+        t0 = time.time()
+        # ---- train ----
+        for step_in_epoch, raw in enumerate(train_loader):
+            step_key = jax.random.fold_in(aug_rng, int(state.step))
+            batch = _device_batch(raw, train_tf, mesh, step_key)
+            state, metrics = train_step(state, batch)
+            logger.accumulate(int(state.step), metrics)
+            if (step_in_epoch + 1) % cfg_t.log_interval == 0:
+                logger.flush("train")
+        logger.flush("train")
+
+        # ---- validate ----
+        metric_state = metric.init_state()
+        val_metrics: list = []
+        for raw in valid_loader:
+            batch = _device_batch(raw, eval_tf, mesh)
+            outputs, m = eval_step(state, batch)
+            metric_state = metric.update(
+                metric_state,
+                outputs,
+                {"boxes": batch["boxes"], "labels": batch["labels"], "valid": batch["valid"]},
+            )
+            val_metrics.append(m)
+        fetched = jax.device_get(val_metrics)
+        val_means = {
+            k: float(np.mean([f[k] for f in fetched])) for k in fetched[0]
+        } if fetched else {}
+        last_map = metric.compute(metric_state)
+        for k, v in val_means.items():
+            logger.scalar(f"Loss/valid/{k}", v, int(state.step))
+        logger.scalar("Metric/mAP", last_map, int(state.step))
+
+        # ---- best checkpoint on lowest model val loss (train.py:123-128) ----
+        val_model = val_means.get("loss_model", np.inf)
+        if val_model < best_val:
+            best_val = val_model
+            save_checkpoint(
+                cfg_t.checkpoint_dir,
+                cfg_t.save_as,
+                state,
+                train_loader.state_dict(),
+                best_val,
+            )
+        save_checkpoint(
+            cfg_t.checkpoint_dir,
+            cfg_t.save_as + "_last",
+            state,
+            train_loader.state_dict(),
+            best_val,
+        )
+        print(
+            f"epoch {epoch}: {time.time() - t0:.1f}s val_model={val_model:.4f} "
+            f"mAP={last_map:.4f}",
+            flush=True,
+        )
+    logger.close()
+    return {"best_val": best_val, "map": last_map, "state": state}
+
+
+def train_ssd(config: Config, mesh=None) -> dict:
+    """Train SSD; returns {"best_val", "state"}."""
+    cfg_t = config.train
+    mesh = mesh or auto_mesh(cfg_t.batch_size)
+    model = build_ssd(config.ssd)
+    state, tx = create_ssd_state(model, cfg_t, image_size=config.ssd.image_size)
+    train_step = make_ssd_train_step(model, tx, cfg_t, config.ssd)
+    eval_step = make_ssd_eval_step(model, cfg_t, config.ssd)
+
+    canvas = int(config.ssd.image_size * 1.28)  # headroom for the random patch
+    train_loader, valid_loader = _make_loaders(config, canvas, "ssd")
+
+    logger = MetricLogger(cfg_t.log_dir)
+    best_val = np.inf
+    if cfg_t.resume:
+        restored = restore_checkpoint(cfg_t.checkpoint_dir, cfg_t.resume_from, state)
+        state = restored["state"]
+        train_loader.load_state_dict(restored["loader"])
+        best_val = float(restored["best_val"])
+    state = jax.device_put(state, replicated_sharding(mesh))
+
+    aug_rng = jax.random.key(cfg_t.seed + 13)
+    out_size = config.ssd.image_size
+    train_tf = lambda im, bx, lb, vd, key: ssd_train_transform(
+        im, bx, lb, vd, key, out_size=out_size
+    )
+    eval_tf = lambda im, bx, lb, vd: ssd_eval_transform(im, bx, lb, vd, out_size=out_size)
+
+    for epoch in range(cfg_t.epochs):
+        t0 = time.time()
+        for step_in_epoch, raw in enumerate(train_loader):
+            step_key = jax.random.fold_in(aug_rng, int(state.step))
+            batch = _device_batch(raw, train_tf, mesh, step_key)
+            state, metrics = train_step(state, batch)
+            logger.accumulate(int(state.step), metrics)
+            if (step_in_epoch + 1) % cfg_t.log_interval == 0:
+                logger.flush("train")
+        logger.flush("train")
+
+        val_metrics = []
+        for raw in valid_loader:
+            batch = _device_batch(raw, eval_tf, mesh)
+            _, m = eval_step(state, batch)
+            val_metrics.append(m)
+        fetched = jax.device_get(val_metrics)
+        val_means = {
+            k: float(np.mean([f[k] for f in fetched])) for k in fetched[0]
+        } if fetched else {}
+        for k, v in val_means.items():
+            logger.scalar(f"Loss/valid/{k}", v, int(state.step))
+
+        val_loss = val_means.get("loss", np.inf)
+        if val_loss < best_val:
+            best_val = val_loss
+            save_checkpoint(
+                cfg_t.checkpoint_dir, cfg_t.save_as, state,
+                train_loader.state_dict(), best_val,
+            )
+        save_checkpoint(
+            cfg_t.checkpoint_dir, cfg_t.save_as + "_last", state,
+            train_loader.state_dict(), best_val,
+        )
+        print(f"epoch {epoch}: {time.time() - t0:.1f}s val={val_loss:.4f}", flush=True)
+    logger.close()
+    return {"best_val": best_val, "state": state}

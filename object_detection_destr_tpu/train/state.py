@@ -1,0 +1,76 @@
+"""Train state: one pytree holding params, BN stats, optimizer state, step,
+and PRNG key — the unit that the jitted step donates and Orbax checkpoints
+atomically (vs the reference's raw ``model.state_dict()`` saves that can't
+round-trip through either of its resume paths, SURVEY.md §3.4)."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..config import DestrConfig, SSDConfig, TrainConfig
+from ..models.destr.model import DESTR
+from ..models.ssd.model import SSD
+from .optim import build_optimizer
+
+__all__ = ["TrainState", "create_destr_state", "create_ssd_state"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    rng: jax.Array
+
+    def apply_gradients(self, grads: Any, tx: optax.GradientTransformation, **updates):
+        upd, new_opt_state = tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, upd)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            opt_state=new_opt_state,
+            **updates,
+        )
+
+
+def _init_state(model, dummy_images, train_cfg: TrainConfig, seed_shift: int = 0):
+    rng = jax.random.key(train_cfg.seed + seed_shift)
+    init_rng, state_rng = jax.random.split(rng)
+    variables = model.init(
+        {"params": init_rng, "dropout": init_rng}, dummy_images, train=False
+    )
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", {})
+    tx = build_optimizer(
+        params,
+        lr=train_cfg.lr,
+        lr_backbone=train_cfg.lr_backbone,
+    )
+    return (
+        TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            rng=state_rng,
+        ),
+        tx,
+    )
+
+
+def create_destr_state(
+    model: DESTR, train_cfg: TrainConfig, image_size: int | None = None
+):
+    size = image_size or train_cfg.image_size
+    dummy = jnp.zeros((1, size, size, 3), jnp.float32)
+    return _init_state(model, dummy, train_cfg)
+
+
+def create_ssd_state(model: SSD, train_cfg: TrainConfig, image_size: int = 300):
+    dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
+    return _init_state(model, dummy, train_cfg)

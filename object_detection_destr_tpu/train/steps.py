@@ -1,0 +1,153 @@
+"""Jit-compiled train/eval steps.
+
+One fused step per model: forward, on-device matching, losses, backward,
+optimizer update — no host syncs. Contrast with the reference hot loop which
+leaves the device four times per step (scipy matcher, per-loss ``.item()``,
+top-k Python loop, pair-gather loops — SURVEY.md §3.1).
+
+Loss wiring mirrors train.py:160-217:
+    weighted = cost_class * class + cost_bbox * bbox + cost_ciou * ciou
+    total = 0.7 * weighted(model_out) + 0.3 * weighted(mini_detector_out)
+and train_ssd.py:108-134 for SSD.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SSDConfig, TrainConfig
+from ..geometry.boxes import default_boxes
+from ..losses.criterion import set_criterion, ssd_criterion
+from .state import TrainState
+
+__all__ = [
+    "make_destr_train_step",
+    "make_destr_eval_step",
+    "make_ssd_train_step",
+    "make_ssd_eval_step",
+    "flat_anchors",
+]
+
+
+def _weighted(losses: dict, cfg: TrainConfig) -> jnp.ndarray:
+    """reduce_dict with the --set_cost_* weights (train.py:33-37, 172-175)."""
+    return (
+        cfg.set_cost_class * losses["class"]
+        + cfg.set_cost_bbox * losses["bbox"]
+        + cfg.set_cost_ciou * losses["ciou"]
+    )
+
+
+def _destr_targets(batch: dict) -> dict:
+    return {"boxes": batch["boxes"], "labels": batch["labels"], "valid": batch["valid"]}
+
+
+def make_destr_train_step(model, tx, cfg: TrainConfig) -> Callable:
+    def loss_fn(params, batch_stats, rng, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        (model_out, det_out), mutated = model.apply(
+            variables,
+            batch["images"],
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        targets = _destr_targets(batch)
+        l_model = set_criterion(model_out, targets)
+        l_det = set_criterion(det_out, targets)
+        loss_model = _weighted(l_model, cfg)
+        loss_det = _weighted(l_det, cfg)
+        loss = cfg.model_loss_weight * loss_model + cfg.det_loss_weight * loss_det
+        metrics = {
+            "loss": loss,
+            "loss_model": loss_model,
+            "loss_det": loss_det,
+            "loss_class": l_model["class"],
+            "loss_ciou": l_model["ciou"],
+        }
+        return loss, (mutated.get("batch_stats", batch_stats), metrics)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict):
+        rng, step_rng = jax.random.split(state.rng)
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, step_rng, batch
+        )
+        new_state = state.apply_gradients(grads, tx, batch_stats=new_stats, rng=rng)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_destr_eval_step(model, cfg: TrainConfig) -> Callable:
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        model_out, det_out = model.apply(variables, batch["images"], train=False)
+        targets = _destr_targets(batch)
+        l_model = set_criterion(model_out, targets)
+        l_det = set_criterion(det_out, targets)
+        metrics = {
+            "loss_model": _weighted(l_model, cfg),
+            "loss_det": _weighted(l_det, cfg),
+            "loss_class": l_model["class"],
+            "loss_ciou": l_model["ciou"],
+        }
+        return model_out, metrics
+
+    return eval_step
+
+
+def flat_anchors(ssd_cfg: SSDConfig) -> jnp.ndarray:
+    """(S, 4) default boxes flattened scale-major, matching the criterion's
+    flatten order (criterion.py:243-247)."""
+    per_scale = default_boxes(
+        ssd_cfg.feature_shapes, ssd_cfg.scales, ssd_cfg.aspect_ratios
+    )
+    return jnp.concatenate([a.reshape(-1, 4) for a in per_scale], axis=0)
+
+
+def make_ssd_train_step(model, tx, cfg: TrainConfig, ssd_cfg: SSDConfig) -> Callable:
+    anchors = flat_anchors(ssd_cfg)
+
+    def loss_fn(params, batch_stats, rng, batch):
+        variables = {"params": params, "batch_stats": batch_stats}
+        outputs, mutated = model.apply(
+            variables,
+            batch["images"],
+            train=True,
+            rngs={"dropout": rng},
+            mutable=["batch_stats"],
+        )
+        targets = _destr_targets(batch)  # boxes already cxcyhw for SSD
+        losses = ssd_criterion(outputs, targets, anchors, loss_coef=cfg.coef_class_loss)
+        return losses["loss"], (mutated.get("batch_stats", batch_stats), losses)
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: dict):
+        rng, step_rng = jax.random.split(state.rng)
+        grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.batch_stats, step_rng, batch
+        )
+        new_state = state.apply_gradients(grads, tx, batch_stats=new_stats, rng=rng)
+        return new_state, metrics
+
+    return train_step
+
+
+def make_ssd_eval_step(model, cfg: TrainConfig, ssd_cfg: SSDConfig) -> Callable:
+    anchors = flat_anchors(ssd_cfg)
+
+    @jax.jit
+    def eval_step(state: TrainState, batch: dict):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        outputs = model.apply(variables, batch["images"], train=False)
+        targets = _destr_targets(batch)
+        losses = ssd_criterion(outputs, targets, anchors, loss_coef=cfg.coef_class_loss)
+        return outputs, losses
+
+    return eval_step

@@ -1,0 +1,176 @@
+"""mAP metric tests vs a literal numpy re-derivation of the reference
+algorithm (criterion.py:92-193)."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from object_detection_destr_tpu.losses.metrics import (  # noqa: E402
+    CocoAveragePrecision,
+    MeanAveragePrecision,
+)
+
+from helpers import _np_cxcyhw_to_xyxy  # noqa: E402
+
+
+def _np_softmax(x, axis=-1):
+    e = np.exp(x - x.max(axis=axis, keepdims=True))
+    return e / e.sum(axis=axis, keepdims=True)
+
+
+def _np_iou(a, c):
+    mins = np.maximum(a[:, None, :2], c[None, :, :2])
+    maxs = np.minimum(a[:, None, 2:], c[None, :, 2:])
+    wh = np.maximum(maxs - mins, 0.0)
+    inter = wh[..., 0] * wh[..., 1]
+    area = lambda x: (x[..., 2] - x[..., 0]) * (x[..., 3] - x[..., 1])
+    return inter / np.maximum(area(a)[:, None] + area(c)[None] - inter, 1e-6)
+
+
+def _reference_map(batches, num_pred=300, threshold=0.5):
+    """Numpy transcription of the reference metric semantics."""
+    tp = np.zeros(num_pred)
+    fp = np.zeros(num_pred)
+    num_gts = 0
+    for logits, boxes_cxcyhw, gt_xyxy_list in batches:
+        for b in range(logits.shape[0]):
+            prob = _np_softmax(logits[b])
+            pred_cls = prob.argmax(-1)
+            pred_xyxy = _np_cxcyhw_to_xyxy(boxes_cxcyhw[b])
+            gt = gt_xyxy_list[b]
+            sel = np.where(pred_cls == 0)[0]
+            if len(gt) == 0:
+                continue
+            order = np.argsort(-prob[sel, 0], kind="stable")
+            sel = sel[order]
+            num_gts += len(gt)
+            matched = np.zeros(len(gt))
+            ious = _np_iou(pred_xyxy[sel], gt)
+            for i, row in enumerate(ious):
+                best = np.argmax(row)
+                if row[best] >= threshold and matched[best] == 0:
+                    tp[i] += 1
+                    matched[best] = 1
+                else:
+                    fp[i] += 1
+    if num_gts == 0:
+        return 0.0
+    cum_tp, cum_fp = np.cumsum(tp), np.cumsum(fp)
+    recall = cum_tp / num_gts
+    precision = np.where(cum_tp + cum_fp > 0, cum_tp / np.maximum(cum_tp + cum_fp, 1e-12), 0)
+    ap = 0.0
+    for t in np.arange(0.0, 1.1, 0.1):
+        m = recall >= t
+        ap += (precision[m].max() if m.any() else 0.0) / 11.0
+    return ap
+
+
+def _make_batch(rng, b=3, n=40, t_max=6):
+    logits = rng.normal(size=(b, n, 2)).astype(np.float32)
+    boxes = np.stack(
+        [
+            rng.uniform(0.2, 0.8, size=(b, n)),
+            rng.uniform(0.2, 0.8, size=(b, n)),
+            rng.uniform(0.05, 0.4, size=(b, n)),
+            rng.uniform(0.05, 0.4, size=(b, n)),
+        ],
+        -1,
+    ).astype(np.float32)
+    gt_c = np.stack(
+        [
+            rng.uniform(0.2, 0.8, size=(b, t_max)),
+            rng.uniform(0.2, 0.8, size=(b, t_max)),
+            rng.uniform(0.05, 0.4, size=(b, t_max)),
+            rng.uniform(0.05, 0.4, size=(b, t_max)),
+        ],
+        -1,
+    ).astype(np.float32)
+    gt_xyxy = _np_cxcyhw_to_xyxy(gt_c)
+    counts = rng.integers(0, t_max + 1, size=b)
+    valid = np.arange(t_max)[None, :] < counts[:, None]
+    return logits, boxes, gt_xyxy, valid
+
+
+def test_map_matches_reference_transcription():
+    rng = np.random.default_rng(21)
+    metric = MeanAveragePrecision(num_cls=1, num_pred=40)
+    state = metric.init_state()
+    ref_batches = []
+    for _ in range(3):
+        logits, boxes, gt_xyxy, valid = _make_batch(rng)
+        outputs = {"pred_class": jnp.asarray(logits), "pred_boxes": jnp.asarray(boxes)}
+        targets = {
+            "boxes": jnp.asarray(gt_xyxy),
+            "labels": jnp.zeros(valid.shape, jnp.int32),
+            "valid": jnp.asarray(valid),
+        }
+        state = metric.update(state, outputs, targets)
+        ref_batches.append(
+            (logits, boxes, [gt_xyxy[b][valid[b]] for b in range(len(valid))])
+        )
+    ours = metric.compute(state)
+    golden = _reference_map(ref_batches, num_pred=40)
+    np.testing.assert_allclose(ours, golden, rtol=1e-6, atol=1e-9)
+
+
+def test_map_perfect_predictions():
+    """Predictions exactly equal to GTs with confident class 0 -> AP ~ 1."""
+    rng = np.random.default_rng(22)
+    b, t = 2, 4
+    gt_c = np.stack(
+        [
+            rng.uniform(0.3, 0.7, size=(b, t)),
+            rng.uniform(0.3, 0.7, size=(b, t)),
+            rng.uniform(0.2, 0.4, size=(b, t)),
+            rng.uniform(0.2, 0.4, size=(b, t)),
+        ],
+        -1,
+    ).astype(np.float32)
+    n = 10
+    boxes = np.concatenate(
+        [gt_c, rng.uniform(0.01, 0.03, size=(b, n - t, 4)).astype(np.float32)], axis=1
+    )
+    logits = np.full((b, n, 2), -5.0, np.float32)
+    logits[:, :t, 0] = 5.0  # class 0 for the true boxes
+    logits[:, t:, 1] = 5.0  # background for the rest
+    outputs = {"pred_class": jnp.asarray(logits), "pred_boxes": jnp.asarray(boxes)}
+    targets = {
+        "boxes": jnp.asarray(_np_cxcyhw_to_xyxy(gt_c)),
+        "labels": jnp.zeros((b, t), jnp.int32),
+        "valid": jnp.ones((b, t), bool),
+    }
+    metric = MeanAveragePrecision(num_cls=1, num_pred=n)
+    state = metric.update(metric.init_state(), outputs, targets)
+    assert metric.compute(state) > 0.99
+
+
+def test_coco_ap_perfect_predictions():
+    rng = np.random.default_rng(23)
+    b, t, n = 2, 4, 10
+    gt_c = np.stack(
+        [
+            rng.uniform(0.3, 0.7, size=(b, t)),
+            rng.uniform(0.3, 0.7, size=(b, t)),
+            rng.uniform(0.2, 0.4, size=(b, t)),
+            rng.uniform(0.2, 0.4, size=(b, t)),
+        ],
+        -1,
+    ).astype(np.float32)
+    boxes = np.concatenate(
+        [gt_c, rng.uniform(0.01, 0.03, size=(b, n - t, 4)).astype(np.float32)], axis=1
+    )
+    logits = np.full((b, n, 1), -5.0, np.float32)
+    logits[:, :t, 0] = 5.0
+    outputs = {"pred_class": jnp.asarray(logits), "pred_boxes": jnp.asarray(boxes)}
+    # note: CocoAveragePrecision compares boxes in xyxy via cxcyhw conversion
+    targets = {
+        "boxes": jnp.asarray(_np_cxcyhw_to_xyxy(gt_c)),
+        "labels": jnp.zeros((b, t), jnp.int32),
+        "valid": jnp.ones((b, t), bool),
+    }
+    metric = CocoAveragePrecision(num_cls=1, max_dets_per_image=n)
+    metric.update(outputs, targets)
+    ap = metric.compute()
+    assert ap > 0.95  # exact-overlap boxes survive every IoU threshold

@@ -1,0 +1,190 @@
+"""Training-stack tests: optimizer labels, train steps on tiny models, the
+DESTR driver end-to-end on synthetic data, and checkpoint round-trip."""
+
+import os
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from object_detection_destr_tpu.config import (  # noqa: E402
+    Config,
+    DataConfig,
+    DestrConfig,
+    TrainConfig,
+)
+from object_detection_destr_tpu.models.destr.model import build_destr  # noqa: E402
+from object_detection_destr_tpu.train.checkpoint import (  # noqa: E402
+    restore_checkpoint,
+    save_checkpoint,
+)
+from object_detection_destr_tpu.train.optim import param_labels  # noqa: E402
+from object_detection_destr_tpu.train.state import create_destr_state  # noqa: E402
+from object_detection_destr_tpu.train.steps import (  # noqa: E402
+    make_destr_eval_step,
+    make_destr_train_step,
+)
+
+TINY_DESTR = DestrConfig(
+    hidden_dim=32,
+    num_heads=4,
+    num_encoder_blocks=2,
+    num_decoder_blocks=2,
+    top_k=4,
+    ffn_dim=64,
+    dropout=0.0,
+)
+TINY_TRAIN = TrainConfig(batch_size=2, image_size=64, lr=1e-3, lr_backbone=1e-3)
+
+
+def _tiny_batch(rng, b=2, size=64, t=5):
+    images = jnp.asarray(rng.normal(size=(b, size, size, 3)).astype(np.float32))
+    boxes = np.stack(
+        [
+            rng.uniform(0.1, 0.4, size=(b, t)),
+            rng.uniform(0.1, 0.4, size=(b, t)),
+            rng.uniform(0.5, 0.9, size=(b, t)),
+            rng.uniform(0.5, 0.9, size=(b, t)),
+        ],
+        -1,
+    ).astype(np.float32)
+    valid = np.ones((b, t), bool)
+    valid[0, -1] = False
+    return {
+        "images": images,
+        "boxes": jnp.asarray(boxes),
+        "labels": jnp.zeros((b, t), jnp.int32),
+        "valid": jnp.asarray(valid),
+    }
+
+
+@pytest.fixture(scope="module")
+def _destr_setup_raw():
+    model = build_destr(TINY_DESTR)
+    state, tx = create_destr_state(model, TINY_TRAIN, image_size=64)
+    return model, state, tx
+
+
+@pytest.fixture()
+def destr_setup(_destr_setup_raw):
+    """Fresh state copy per test — the train step donates its input state."""
+    model, state, tx = _destr_setup_raw
+    return model, jax.tree.map(jnp.copy, state), tx
+
+
+def test_param_labels_policy(destr_setup):
+    _, state, _ = destr_setup
+    labels = param_labels(state.params)
+    from flax import traverse_util
+
+    flat = traverse_util.flatten_dict(labels)
+    as_str = {"/".join(map(str, k)): v for k, v in flat.items()}
+    # stem + layer1 frozen; layer2+ trains at backbone lr; FrozenBN frozen
+    assert as_str["backbone/conv1/kernel"] == "frozen"
+    assert any(
+        v == "frozen" and "layer1_0" in k and "bn" in k for k, v in as_str.items()
+    )
+    assert any(
+        v == "backbone" and k.startswith("backbone/layer2_0/conv1") for k, v in as_str.items()
+    )
+    assert any(
+        v == "frozen" and "layer2_0/bn1" in k for k, v in as_str.items()
+    )
+    assert as_str["cls_embed/kernel"] == "main"
+
+
+def test_destr_train_step_runs_and_updates(destr_setup):
+    model, state, tx = destr_setup
+    train_step = make_destr_train_step(model, tx, TINY_TRAIN)
+    rng = np.random.default_rng(0)
+    batch = _tiny_batch(rng)
+    before = jax.device_get(state.params["cls_embed"]["kernel"])
+    state2, metrics = train_step(state, batch)
+    metrics = jax.device_get(metrics)
+    for k, v in metrics.items():
+        assert np.isfinite(v), f"{k} not finite"
+    after = jax.device_get(state2.params["cls_embed"]["kernel"])
+    assert not np.allclose(before, after)
+    assert int(state2.step) == int(jax.device_get(state2.step))
+    # frozen params untouched
+    np.testing.assert_array_equal(
+        jax.device_get(state2.params["backbone"]["bn1"]["running_mean"]),
+        np.zeros_like(jax.device_get(state2.params["backbone"]["bn1"]["running_mean"])),
+    )
+
+
+def test_destr_eval_step_shapes(destr_setup):
+    model, state, _ = destr_setup
+    eval_step = make_destr_eval_step(model, TINY_TRAIN)
+    rng = np.random.default_rng(1)
+    batch = _tiny_batch(rng)
+    outputs, metrics = eval_step(state, batch)
+    assert outputs["pred_class"].shape == (2, 4, 2)
+    assert outputs["pred_boxes"].shape == (2, 4, 4)
+    for v in jax.device_get(metrics).values():
+        assert np.isfinite(v)
+
+
+def test_checkpoint_roundtrip(tmp_path, destr_setup):
+    _, state, _ = destr_setup
+    path = save_checkpoint(str(tmp_path), "w", state, {"epoch": 2, "step": 3}, 0.5)
+    assert os.path.exists(path)
+    restored = restore_checkpoint(str(tmp_path), "w", state)
+    assert restored["loader"] == {"epoch": 2, "step": 3}
+    assert float(restored["best_val"]) == 0.5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        jax.device_get(state.params),
+        restored["state"].params,
+    )
+    # overwrite (best checkpoint is rewritten every improvement)
+    save_checkpoint(str(tmp_path), "w", state, {"epoch": 5, "step": 0}, 0.25)
+    again = restore_checkpoint(str(tmp_path), "w", state)
+    assert float(again["best_val"]) == 0.25
+
+
+def test_destr_driver_end_to_end(tmp_path):
+    from object_detection_destr_tpu.train.driver import train_destr
+
+    config = Config(
+        destr=TINY_DESTR,
+        train=TrainConfig(
+            batch_size=2,
+            image_size=64,
+            epochs=1,
+            lr=1e-3,
+            lr_backbone=0.0,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            log_dir=str(tmp_path / "runs"),
+            log_interval=2,
+        ),
+        data=DataConfig(
+            dataset="synthetic",
+            image_size=80,
+            num_train_samples=4,
+            num_valid_samples=2,
+            augment_factor=1,
+            max_targets=8,
+        ),
+    )
+    result = train_destr(config)
+    assert np.isfinite(result["best_val"])
+    assert os.path.exists(os.path.join(str(tmp_path / "ckpt"), "model_weights"))
+    assert os.path.exists(os.path.join(str(tmp_path / "runs"), "metrics.jsonl"))
+
+    # resume path: restart from the saved checkpoint without error
+    config2 = Config(
+        destr=config.destr,
+        train=dataclasses_replace(config.train, resume=True, epochs=1),
+        data=config.data,
+    )
+    result2 = train_destr(config2)
+    assert np.isfinite(result2["best_val"])
+
+
+def dataclasses_replace(cfg, **kw):
+    import dataclasses
+
+    return dataclasses.replace(cfg, **kw)
