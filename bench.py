@@ -17,9 +17,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# first recorded value of this same benchmark (update when BASELINE.md gains
-# a measured row); None -> report 1.0
-BASELINE_IMAGES_PER_SEC: float | None = None
+# persistent compile cache: repeat bench runs skip the (minutes-long on a
+# tunneled chip) XLA compile of the train step
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+# first recorded value of this same benchmark (BASELINE.md measured table,
+# round 1: 322.35 images/sec/chip on one v5e chip) — vs_baseline tracks
+# improvement across rounds against this anchor
+BASELINE_IMAGES_PER_SEC: float | None = 322.35
 
 BATCH = 8
 IMAGE = 640

@@ -77,6 +77,8 @@ class TrainConfig:
     log_dir: str = "runs"
     log_interval: int = 100
     seed: int = 0
+    # jax.profiler trace of a few early steps lands here (train/profiler.py)
+    profile_dir: Optional[str] = None
     # model-loss / mini-detector-loss blend (train.py:172-175)
     model_loss_weight: float = 0.7
     det_loss_weight: float = 0.3

@@ -26,6 +26,8 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log_dir", type=str, default="runs")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--log_interval", type=int, default=100)
+    p.add_argument("--profile_dir", type=str, default=None,
+                   help="write a jax.profiler trace of early steps here")
     # the reference's --device selects cuda/cpu (arg_parser.py:85-89);
     # here devices come from the mesh — the flag is accepted and ignored
     p.add_argument("--device", type=str, default="tpu")
@@ -85,6 +87,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         log_dir=args.log_dir,
         seed=args.seed,
         log_interval=args.log_interval,
+        profile_dir=args.profile_dir,
         image_size=getattr(args, "image_size", 640),
     )
     destr = DestrConfig(

@@ -38,6 +38,7 @@ from ..models.ssd.model import build_ssd
 from ..parallel.mesh import auto_mesh, replicated_sharding, shard_batch
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .logging_utils import MetricLogger
+from .profiler import StepTimer
 from .optim import build_optimizer
 from .state import create_destr_state, create_ssd_state
 from .steps import (
@@ -147,17 +148,29 @@ def train_destr(config: Config, mesh=None) -> dict:
     )
 
     last_map = 0.0
+    timer = StepTimer(cfg_t.batch_size)
     for epoch in range(cfg_t.epochs):
         t0 = time.time()
         # ---- train ----
+        metrics = None
+        timer.start()
         for step_in_epoch, raw in enumerate(train_loader):
+            if cfg_t.profile_dir and epoch == 0 and step_in_epoch == 2:
+                jax.profiler.start_trace(cfg_t.profile_dir)
             step_key = jax.random.fold_in(aug_rng, int(state.step))
             batch = _device_batch(raw, train_tf, mesh, step_key)
             state, metrics = train_step(state, batch)
+            timer.step()
+            if cfg_t.profile_dir and epoch == 0 and step_in_epoch == 4:
+                jax.block_until_ready(metrics)
+                jax.profiler.stop_trace()
             logger.accumulate(int(state.step), metrics)
             if (step_in_epoch + 1) % cfg_t.log_interval == 0:
                 logger.flush("train")
         logger.flush("train")
+        if metrics is not None:
+            rate = timer.stop(metrics["loss"])
+            logger.scalar("Perf/images_per_sec", rate["images_per_sec"], int(state.step))
 
         # ---- validate ----
         metric_state = metric.init_state()

@@ -1,0 +1,82 @@
+"""Single-batch overfit integration tests: the full model + matcher + losses
++ optimizer must drive loss down AND push detection quality (mAP) up on a
+tiny synthetic scene — the end-to-end learning signal the reference repo
+never had (SURVEY.md §4 recommendation (c))."""
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from object_detection_destr_tpu.config import DestrConfig, TrainConfig  # noqa: E402
+from object_detection_destr_tpu.data.datasets import SyntheticDetection  # noqa: E402
+from object_detection_destr_tpu.data.transforms import normalize_imagenet  # noqa: E402
+from object_detection_destr_tpu.losses.metrics import MeanAveragePrecision  # noqa: E402
+from object_detection_destr_tpu.models.destr.model import build_destr  # noqa: E402
+from object_detection_destr_tpu.train.state import create_destr_state  # noqa: E402
+from object_detection_destr_tpu.train.steps import (  # noqa: E402
+    make_destr_eval_step,
+    make_destr_train_step,
+)
+
+
+@pytest.mark.slow
+def test_destr_overfits_single_batch():
+    cfg = DestrConfig(
+        hidden_dim=64,
+        num_heads=4,
+        num_encoder_blocks=2,
+        num_decoder_blocks=2,
+        top_k=9,
+        ffn_dim=128,
+        dropout=0.0,
+    )
+    train_cfg = TrainConfig(
+        batch_size=2, image_size=96, lr=3e-4, lr_backbone=3e-4,
+        set_cost_class=0.5, set_cost_ciou=0.5,
+    )
+    model = build_destr(cfg)
+    state, tx = create_destr_state(model, train_cfg, image_size=96)
+    train_step = make_destr_train_step(model, tx, train_cfg)
+    eval_step = make_destr_eval_step(model, train_cfg)
+
+    # two fixed synthetic scenes, bright boxes on noise
+    ds = SyntheticDetection(num_samples=2, image_size=96, max_boxes=3, seed=5)
+    images, boxes, labels, valid = [], [], [], []
+    t = 4
+    for i in range(2):
+        img, bx, lb = ds[i]
+        images.append(img)
+        n = min(len(bx), t)
+        pb = np.zeros((t, 4), np.float32)
+        pl = np.zeros((t,), np.int32)
+        pv = np.zeros((t,), bool)
+        pb[:n], pl[:n], pv[:n] = bx[:n], lb[:n], True
+        boxes.append(pb)
+        labels.append(pl)
+        valid.append(pv)
+    batch = {
+        "images": normalize_imagenet(jnp.asarray(np.stack(images))),
+        "boxes": jnp.asarray(np.stack(boxes)),
+        "labels": jnp.asarray(np.stack(labels)),
+        "valid": jnp.asarray(np.stack(valid)),
+    }
+
+    first_loss = None
+    for step in range(150):
+        state, metrics = train_step(state, batch)
+        if step == 0:
+            first_loss = float(jax.device_get(metrics["loss"]))
+    last_loss = float(jax.device_get(metrics["loss"]))
+    assert last_loss < 0.5 * first_loss, (first_loss, last_loss)
+
+    outputs, _ = eval_step(state, batch)
+    metric = MeanAveragePrecision(num_cls=1, num_pred=cfg.top_k)
+    m_state = metric.update(
+        metric.init_state(),
+        outputs,
+        {"boxes": batch["boxes"], "labels": batch["labels"], "valid": batch["valid"]},
+    )
+    ap = metric.compute(m_state)
+    assert ap > 0.3, f"overfit mAP only {ap}"
