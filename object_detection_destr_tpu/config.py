@@ -26,6 +26,9 @@ class DestrConfig:
     lambda_pair: float = 0.5  # self/pair attention blend (decoder_block.py:73)
     backbone: str = "resnet50"
     dilation: bool = False  # replace C5 stride with dilation (backbone.py:139-143)
+    # image-plane positional encoding: "sine" (the wired reference default,
+    # position_encoding_cdetr.py:144-150) or "learned" (its :93-127 variant)
+    pos_embed: str = "sine"
     # "reference": softmax before /sqrt(2d) as in pair_self_attention.py:98;
     # "paper": scale logits before softmax (DESTR paper form)
     pair_mode: str = "reference"

@@ -1,0 +1,112 @@
+"""Batch prediction CLI — the serving surface the reference never wired
+(its NMS module is an orphan ``__main__``, non_maximum_suppress.py:105-128;
+SURVEY.md §3.5 calls for a real predict path covering both models).
+
+    python -m object_detection_destr_tpu.infer.cli \
+        --model destr --checkpoint_dir checkpoints --weights model_weights \
+        --images img1.jpg img2.jpg --output dets.json
+
+Loads an Orbax checkpoint, runs the batched on-device predict path, and
+writes one JSON record per image: {"file", "boxes" (xyxy, normalized),
+"scores", "labels"}.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DestrConfig, SSDConfig
+from ..data.datasets import _load_image
+from ..data.loader import _resize_canvas
+from ..data.transforms import normalize_imagenet
+from ..models.destr.model import build_destr
+from ..models.ssd.model import build_ssd
+from ..train.checkpoint import restore_for_inference
+from ..train.steps import flat_anchors
+from .predict import destr_predict, ssd_predict
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser("object_detection_destr_tpu predict")
+    p.add_argument("--model", choices=["destr", "ssd"], default="destr")
+    p.add_argument("--checkpoint_dir", type=str, default="checkpoints")
+    p.add_argument("--weights", type=str, default="model_weights")
+    p.add_argument("--images", nargs="+", required=True)
+    p.add_argument("--output", type=str, default="detections.json")
+    p.add_argument("--score_thresh", type=float, default=0.5)
+    p.add_argument("--image_size", type=int, default=None)
+    # model shape flags must match the checkpoint
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--ffn_dim", type=int, default=2048)
+    p.add_argument("--num_heads", type=int, default=8)
+    p.add_argument("--num_encoder_blocks", type=int, default=6)
+    p.add_argument("--num_decoder_blocks", type=int, default=6)
+    p.add_argument("--top_k", type=int, default=300)
+    p.add_argument("--num_cls", type=int, default=2)
+    p.add_argument("--backbone", type=str, default="resnet50")
+    p.add_argument("--dilation", action="store_true")
+    return p
+
+
+def main(argv=None) -> list[dict]:
+    args = get_parser().parse_args(argv)
+    size = args.image_size or (640 if args.model == "destr" else 300)
+
+    if args.model == "destr":
+        cfg = DestrConfig(
+            hidden_dim=args.hidden_dim,
+            ffn_dim=args.ffn_dim,
+            num_heads=args.num_heads,
+            num_encoder_blocks=args.num_encoder_blocks,
+            num_decoder_blocks=args.num_decoder_blocks,
+            top_k=args.top_k,
+            num_cls=args.num_cls,
+            backbone=args.backbone,
+            dilation=args.dilation,
+        )
+        model = build_destr(cfg)
+    else:
+        cfg = SSDConfig(num_cls=args.num_cls if args.num_cls != 2 else 20)
+        model = build_ssd(cfg)
+
+    restored = restore_for_inference(args.checkpoint_dir, args.weights)
+
+    batch = np.stack(
+        [_resize_canvas(_load_image(f), size) for f in args.images]
+    )
+    images = normalize_imagenet(jnp.asarray(batch))
+
+    variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
+    if args.model == "destr":
+        outputs, _ = model.apply(variables, images, train=False)
+        dets = destr_predict(outputs, score_thresh=args.score_thresh)
+    else:
+        outputs = model.apply(variables, images, train=False)
+        dets = ssd_predict(outputs, flat_anchors(cfg), score_thresh=args.score_thresh)
+
+    dets = jax.device_get(dets)
+    records = []
+    for i, f in enumerate(args.images):
+        keep = dets["valid"][i]
+        records.append(
+            {
+                "file": f,
+                "boxes": np.asarray(dets["boxes"][i][keep]).tolist(),
+                "scores": np.asarray(dets["scores"][i][keep]).tolist(),
+                "labels": np.asarray(dets["labels"][i][keep]).tolist(),
+            }
+        )
+    with open(args.output, "w") as fh:
+        json.dump(records, fh)
+    print(f"wrote {sum(len(r['boxes']) for r in records)} detections "
+          f"for {len(records)} images -> {args.output}")
+    return records
+
+
+if __name__ == "__main__":
+    main()

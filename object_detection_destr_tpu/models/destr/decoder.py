@@ -45,6 +45,7 @@ class ClsRegBranch(nn.Module):
 
     hidden_dim: int = 256
     dropout: float = 0.3
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -67,11 +68,11 @@ class ClsRegBranch(nn.Module):
             dropout_rng=self.make_rng("dropout") if not deterministic else None,
         )
         x = inputs + drop(ca)
-        x = nn.LayerNorm(name="norm1")(x)
-        h = drop(nn.relu(nn.Dense(self.hidden_dim * 4, name="fc1")(x)))
-        h = drop(nn.Dense(self.hidden_dim, name="fc2")(h))
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = drop(nn.relu(nn.Dense(self.hidden_dim * 4, dtype=self.dtype, name="fc1")(x)))
+        h = drop(nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc2")(h))
         x = x + h
-        return nn.LayerNorm(name="norm2")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
 
 
 class DecoderBlock(nn.Module):
@@ -81,6 +82,7 @@ class DecoderBlock(nn.Module):
     lambda_pair: float = 0.5
     pair_mode: str = "reference"
     pair_output_mode: str = "reference"
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -95,7 +97,7 @@ class DecoderBlock(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         c, h2 = self.hidden_dim, self.num_heads
-        dense_nb = lambda f, name: nn.Dense(f, use_bias=False, name=name)
+        dense_nb = lambda f, name: nn.Dense(f, use_bias=False, dtype=self.dtype, name=name)
 
         # --- (a) blended self attention over queries -----------------------
         q_obj = dense_nb(2 * c, "sa_q_obj")(obj)
@@ -119,9 +121,9 @@ class DecoderBlock(nn.Module):
             pair_mode=self.pair_mode,
             pair_output_mode=self.pair_output_mode,
         )
-        o = self.lambda_pair * nn.LayerNorm(name="norm1")(obj + drop(o1)) + (
+        o = self.lambda_pair * nn.LayerNorm(dtype=self.dtype, name="norm1")(obj + drop(o1)) + (
             1.0 - self.lambda_pair
-        ) * nn.LayerNorm(name="norm2")(obj + drop(o2))
+        ) * nn.LayerNorm(dtype=self.dtype, name="norm2")(obj + drop(o2))
 
         # --- (b) split cls/reg cross attention -----------------------------
         o_cls, o_reg = o[..., :c], o[..., c:]
@@ -142,10 +144,10 @@ class DecoderBlock(nn.Module):
             jnp.concatenate([split_heads(k_enc, h2), split_heads(k_pos, h2)], axis=-1)
         )
 
-        cls_out = ClsRegBranch(c, self.dropout, name="cls_branch")(
+        cls_out = ClsRegBranch(c, self.dropout, dtype=self.dtype, name="cls_branch")(
             o_cls, q_cls, k, v2, enc_valid_mask, deterministic
         )
-        reg_out = ClsRegBranch(c, self.dropout, name="reg_branch")(
+        reg_out = ClsRegBranch(c, self.dropout, dtype=self.dtype, name="reg_branch")(
             o_reg, q_reg, k, v2, enc_valid_mask, deterministic
         )
         return jnp.concatenate([cls_out, reg_out], axis=-1)
@@ -165,9 +167,10 @@ class Decoder(nn.Module):
     lambda_pair: float = 0.5
     pair_mode: str = "reference"
     pair_output_mode: str = "reference"
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.pos_scale = Mlp([self.hidden_dim, self.hidden_dim], name="pos_scale")
+        self.pos_scale = Mlp([self.hidden_dim, self.hidden_dim], dtype=self.dtype, name="pos_scale")
         self.blocks = [
             DecoderBlock(
                 self.hidden_dim,
@@ -176,11 +179,12 @@ class Decoder(nn.Module):
                 self.lambda_pair,
                 self.pair_mode,
                 self.pair_output_mode,
+                self.dtype,
                 name=f"block{i}",
             )
             for i in range(self.num_blocks)
         ]
-        self.outer_norm = nn.LayerNorm(name="outer_norm")
+        self.outer_norm = nn.LayerNorm(dtype=self.dtype, name="outer_norm")
 
     def __call__(
         self,

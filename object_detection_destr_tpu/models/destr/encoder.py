@@ -34,6 +34,7 @@ class EncoderBlock(nn.Module):
     num_heads: int = 8
     ffn_dim: int = 2048
     dropout: float = 0.3
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -44,17 +45,17 @@ class EncoderBlock(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         qk = x + pos_embed
-        attn = MultiHeadAttention(self.num_heads, self.dropout, name="self_attn")(
+        attn = MultiHeadAttention(self.num_heads, self.dropout, dtype=self.dtype, name="self_attn")(
             qk, qk, x, key_valid_mask=valid_mask, deterministic=deterministic
         )
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
-        x = nn.LayerNorm(name="norm1")(x)
-        h = nn.Dense(self.ffn_dim, name="fc1")(x)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
+        h = nn.Dense(self.ffn_dim, dtype=self.dtype, name="fc1")(x)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(nn.relu(h))
-        h = nn.Dense(self.hidden_dim, name="fc2")(h)
+        h = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         x = x + h
-        return nn.LayerNorm(name="norm2")(x)
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x)
 
 
 class Encoder(nn.Module):
@@ -63,16 +64,18 @@ class Encoder(nn.Module):
     ffn_dim: int = 2048
     num_blocks: int = 6
     dropout: float = 0.3
+    dtype: jnp.dtype = jnp.float32
 
     def setup(self):
-        self.pos_scale = Mlp([self.hidden_dim, self.hidden_dim], name="pos_scale")
+        self.pos_scale = Mlp([self.hidden_dim, self.hidden_dim], dtype=self.dtype, name="pos_scale")
         self.blocks = [
             EncoderBlock(
-                self.hidden_dim, self.num_heads, self.ffn_dim, self.dropout, name=f"block{i}"
+                self.hidden_dim, self.num_heads, self.ffn_dim, self.dropout,
+                dtype=self.dtype, name=f"block{i}"
             )
             for i in range(self.num_blocks)
         ]
-        self.outer_norm = nn.LayerNorm(name="outer_norm")
+        self.outer_norm = nn.LayerNorm(dtype=self.dtype, name="outer_norm")
 
     def __call__(
         self,

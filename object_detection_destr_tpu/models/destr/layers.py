@@ -9,7 +9,37 @@ from flax import linen as nn
 
 from ...ops.attention import scaled_dot_product_attention, split_heads
 
-__all__ = ["Mlp", "MultiHeadAttention"]
+__all__ = ["Mlp", "MultiHeadAttention", "LearnedPositionEmbedding"]
+
+
+class LearnedPositionEmbedding(nn.Module):
+    """Learned 2-D position embedding (position_encoding_cdetr.py:93-127).
+
+    Two 50-entry embedding tables for row/col indices; output per pixel is
+    ``concat[col_embed(x), row_embed(y)]`` (x first — the learned variant's
+    order is opposite to the sine map's y-first, kept faithful). The
+    reference exposes this behind its builder but wires the sine variant
+    (position_encoding_cdetr.py:144-150); available here via
+    ``DestrConfig.pos_embed = "learned"``.
+    """
+
+    num_pos_feats: int = 128
+    table_size: int = 50
+
+    @nn.compact
+    def __call__(self, h: int, w: int) -> jnp.ndarray:
+        row = nn.Embed(self.table_size, self.num_pos_feats, name="row_embed")
+        col = nn.Embed(self.table_size, self.num_pos_feats, name="col_embed")
+        x_emb = col(jnp.arange(w))  # (W, d)
+        y_emb = row(jnp.arange(h))  # (H, d)
+        pos = jnp.concatenate(
+            [
+                jnp.broadcast_to(x_emb[None, :, :], (h, w, self.num_pos_feats)),
+                jnp.broadcast_to(y_emb[:, None, :], (h, w, self.num_pos_feats)),
+            ],
+            axis=-1,
+        )
+        return pos  # (H, W, 2d)
 
 
 class Mlp(nn.Module):
@@ -21,11 +51,12 @@ class Mlp(nn.Module):
     """
 
     features: Sequence[int]
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         for i, f in enumerate(self.features):
-            x = nn.Dense(f, name=f"fc{i}")(x)
+            x = nn.Dense(f, dtype=self.dtype, name=f"fc{i}")(x)
             if i < len(self.features) - 1:
                 x = nn.relu(x)
         return x
@@ -43,6 +74,7 @@ class MultiHeadAttention(nn.Module):
 
     num_heads: int
     dropout: float = 0.0
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(
@@ -54,9 +86,9 @@ class MultiHeadAttention(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         d = query.shape[-1]
-        q = nn.Dense(d, name="q_proj")(query)
-        k = nn.Dense(d, name="k_proj")(key)
-        v = nn.Dense(d, name="v_proj")(value)
+        q = nn.Dense(d, dtype=self.dtype, name="q_proj")(query)
+        k = nn.Dense(d, dtype=self.dtype, name="k_proj")(key)
+        v = nn.Dense(d, dtype=self.dtype, name="v_proj")(value)
         rng = None
         if not deterministic and self.dropout > 0:
             rng = self.make_rng("dropout")
@@ -68,4 +100,4 @@ class MultiHeadAttention(nn.Module):
             dropout_rate=self.dropout,
             dropout_rng=rng,
         )
-        return nn.Dense(d, name="out_proj")(out)
+        return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)

@@ -30,7 +30,7 @@ from ...geometry.embeddings import inverse_sigmoid, sine_embed_centers, sine_pos
 from ..resnet import downsample_mask, resnet101, resnet50
 from .decoder import Decoder
 from .encoder import Encoder
-from .layers import Mlp
+from .layers import LearnedPositionEmbedding, Mlp
 from .mini_detector import MiniDetector
 
 __all__ = ["DESTR", "build_destr"]
@@ -42,19 +42,27 @@ class DESTR(nn.Module):
     def setup(self):
         cfg = self.config
         c = cfg.hidden_dim
+        # computation dtype: backbone/transformer/mini-det convs run in bf16
+        # on the MXU; the shared heads stay f32 (box coordinates need more
+        # than bf16's ~3 decimal digits), so head inputs upcast automatically
+        dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
         if cfg.backbone == "resnet50":
-            self.backbone = resnet50(cfg.dilation)
+            self.backbone = resnet50(cfg.dilation, dtype=dtype)
         elif cfg.backbone == "resnet101":
-            self.backbone = resnet101(cfg.dilation)
+            self.backbone = resnet101(cfg.dilation, dtype=dtype)
         else:
             raise ValueError(f"unknown backbone {cfg.backbone}")
 
-        # shared heads (model.py:30-57)
+        # shared heads (model.py:30-57) — f32 by design
         self.cls_embed = nn.Dense(cfg.num_cls, name="cls_embed")
         self.bbox_embed = Mlp([c, 4], name="bbox_embed")
         self.pos_head = Mlp([c, c, 2], name="pos_head")  # reference `_reg_ffn`
 
-        self.reduce_dim = nn.Conv(c, (1, 1), name="reduce_dim")  # 2048 -> 256
+        self.reduce_dim = nn.Conv(c, (1, 1), dtype=dtype, name="reduce_dim")  # 2048 -> 256
+        if cfg.pos_embed == "learned":
+            self.pos_embedding = LearnedPositionEmbedding(
+                num_pos_feats=c // 2, name="pos_embedding"
+            )
 
         self.encoder = Encoder(
             hidden_dim=c,
@@ -62,6 +70,7 @@ class DESTR(nn.Module):
             ffn_dim=cfg.ffn_dim,
             num_blocks=cfg.num_encoder_blocks,
             dropout=cfg.dropout,
+            dtype=dtype,
             name="encoder",
         )
         self.decoder = Decoder(
@@ -72,6 +81,7 @@ class DESTR(nn.Module):
             lambda_pair=cfg.lambda_pair,
             pair_mode=cfg.pair_mode,
             pair_output_mode=cfg.pair_output_mode,
+            dtype=dtype,
             name="decoder",
         )
         self.mini_detector = MiniDetector(
@@ -80,6 +90,7 @@ class DESTR(nn.Module):
             bbox_embed=self.bbox_embed,
             pos_head=self.pos_head,
             hidden_dim=c,
+            dtype=dtype,
             name="mini_detector",
         )
 
@@ -102,8 +113,14 @@ class DESTR(nn.Module):
 
         x_map = self.reduce_dim(c5)  # (B, h, w, C)
 
-        # image-plane sine positions, N_steps = C/2 (position_encoding_cdetr.py:144-150)
-        pos_map = sine_position_map(c5_valid, num_pos_feats=cfg.hidden_dim // 2)
+        if cfg.pos_embed == "learned":
+            pos_map = jnp.broadcast_to(
+                self.pos_embedding(h, w)[None], (b, h, w, cfg.hidden_dim)
+            )
+        else:
+            # image-plane sine positions, N_steps = C/2
+            # (position_encoding_cdetr.py:144-150)
+            pos_map = sine_position_map(c5_valid, num_pos_feats=cfg.hidden_dim // 2)
         pos_map = pos_map.astype(x_map.dtype)
 
         tokens = x_map.reshape(b, h * w, cfg.hidden_dim)

@@ -35,7 +35,9 @@ class FrozenBatchNorm(nn.Module):
 
     y = x * scale + bias where scale = gamma / sqrt(var + eps),
     bias = beta - mean * scale (backbone.py:69-79). All four tensors live as
-    (masked, untrained) parameters initialized to identity.
+    (masked, untrained) parameters initialized to identity. The folded
+    scale/shift are computed in f32 and cast to the activation dtype, so
+    bf16 activations stay bf16.
     """
 
     features: int
@@ -59,11 +61,12 @@ class Bottleneck(nn.Module):
     strides: int = 1
     dilation: int = 1
     project: bool = False
+    dtype: jnp.dtype = jnp.float32  # computation dtype (params stay f32)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, name="conv1")(x)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = FrozenBatchNorm(self.features, name="bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(
@@ -73,11 +76,12 @@ class Bottleneck(nn.Module):
             padding=[(self.dilation, self.dilation)] * 2,
             kernel_dilation=(self.dilation, self.dilation),
             use_bias=False,
+            dtype=self.dtype,
             name="conv2",
         )(y)
         y = FrozenBatchNorm(self.features, name="bn2")(y)
         y = nn.relu(y)
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, name="conv3")(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype, name="conv3")(y)
         y = FrozenBatchNorm(self.features * 4, name="bn3")(y)
         if self.project:
             residual = nn.Conv(
@@ -85,6 +89,7 @@ class Bottleneck(nn.Module):
                 (1, 1),
                 strides=(self.strides, self.strides),
                 use_bias=False,
+                dtype=self.dtype,
                 name="downsample_conv",
             )(x)
             residual = FrozenBatchNorm(self.features * 4, name="downsample_bn")(residual)
@@ -96,11 +101,12 @@ class ResNet(nn.Module):
 
     stage_sizes: Sequence[int] = (3, 4, 6, 3)  # resnet50
     dilation: bool = False  # dilate layer4 instead of striding
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> dict[str, jnp.ndarray]:
         # stem: 7x7/2 conv + frozen BN + 3x3/2 maxpool
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False, name="conv1")(x)
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)], use_bias=False, dtype=self.dtype, name="conv1")(x)
         y = FrozenBatchNorm(64, name="bn1")(y)
         y = nn.relu(y)
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
@@ -116,18 +122,19 @@ class ResNet(nn.Module):
                     strides=stride if blk == 0 else 1,
                     dilation=2 if (dilate and blk > 0) else 1,
                     project=(blk == 0),
+                    dtype=self.dtype,
                     name=f"layer{stage + 1}_{blk}",
                 )(y)
             outputs[f"layer{stage + 1}"] = y
         return outputs
 
 
-def resnet50(dilation: bool = False) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 6, 3), dilation=dilation)
+def resnet50(dilation: bool = False, dtype: jnp.dtype = jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 6, 3), dilation=dilation, dtype=dtype)
 
 
-def resnet101(dilation: bool = False) -> ResNet:
-    return ResNet(stage_sizes=(3, 4, 23, 3), dilation=dilation)
+def resnet101(dilation: bool = False, dtype: jnp.dtype = jnp.float32) -> ResNet:
+    return ResNet(stage_sizes=(3, 4, 23, 3), dilation=dilation, dtype=dtype)
 
 
 def downsample_mask(valid_mask: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:

@@ -33,6 +33,8 @@ _VGG_CFG = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512)
 class VGG16Features(nn.Module):
     """VGG-16 feature trunk through conv4_3 + ReLU (torchvision features[:23])."""
 
+    dtype: jnp.dtype = jnp.float32
+
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         conv_i = 0
@@ -40,7 +42,7 @@ class VGG16Features(nn.Module):
             if v == "M":
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))  # floor mode
             else:
-                x = nn.relu(nn.Conv(v, (3, 3), padding="SAME", name=f"conv{conv_i}")(x))
+                x = nn.relu(nn.Conv(v, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{conv_i}")(x))
                 conv_i += 1
         return x  # (B, H/8, W/8, 512)
 
@@ -51,15 +53,16 @@ class ExtraBlock(nn.Module):
     mid: int
     out: int
     stride2: bool
+    dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, name=name)
-        x = nn.relu(bn("bn1")(nn.Conv(self.mid, (1, 1), use_bias=False, name="conv1")(x)))
+        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name)
+        x = nn.relu(bn("bn1")(nn.Conv(self.mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)))
         if self.stride2:
-            x = nn.Conv(self.out, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, name="conv2")(x)
+            x = nn.Conv(self.out, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(x)
         else:
-            x = nn.Conv(self.out, (3, 3), padding="VALID", use_bias=False, name="conv2")(x)
+            x = nn.Conv(self.out, (3, 3), padding="VALID", use_bias=False, dtype=self.dtype, name="conv2")(x)
         return nn.relu(bn("bn2")(x))
 
 
@@ -78,17 +81,18 @@ class SSD(nn.Module):
         num_conf = cfg.num_cls + 1  # + background (REFCOMPAT: counted once)
 
         compute_dtype = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
-        x = VGG16Features(name="backbone")(images.astype(compute_dtype))
+        x = VGG16Features(dtype=compute_dtype, name="backbone")(images.astype(compute_dtype))
 
         features = [x]
         dims = [(1024, 1024), (256, 512), (128, 256), (128, 256), (128, 256)]
         for i, (mid, out) in enumerate(dims):
-            x = ExtraBlock(mid, out, stride2=(i < 3), name=f"extra{i}")(x, train)
+            x = ExtraBlock(mid, out, stride2=(i < 3), dtype=compute_dtype, name=f"extra{i}")(x, train)
             features.append(x)
 
         outputs = {"boxes": [], "conf": []}
         for i, (ft, num_a) in enumerate(zip(features, cfg.anchors_per_scale)):
             b, h, w, _ = ft.shape
+            # heads stay f32 (box offsets need the precision); bf16 input upcasts
             box = nn.Conv(num_a * 4, (3, 3), padding="SAME", name=f"box_head{i}")(ft)
             conf = nn.Conv(num_a * num_conf, (3, 3), padding="SAME", name=f"conf_head{i}")(ft)
             outputs["boxes"].append(box.reshape(b, h, w, num_a, 4).astype(jnp.float32))

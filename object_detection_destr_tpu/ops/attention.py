@@ -73,17 +73,27 @@ def scaled_dot_product_attention(
     """
     d = query.shape[-1]
     if scale is None:
-        scale = 1.0 / jnp.sqrt(jnp.asarray(d, query.dtype))
-    logits = jnp.einsum("bhqd,bhkd->bhqk", query, key) * scale
+        scale = 1.0 / float(d) ** 0.5
+    # bf16-friendly: QK^T on the MXU in the input dtype with f32 accumulation,
+    # softmax in f32, PV back in the input dtype
+    logits = (
+        jnp.einsum(
+            "bhqd,bhkd->bhqk", query, key, preferred_element_type=jnp.float32
+        )
+        * scale
+    )
     if attn_bias is not None:
-        logits = logits + attn_bias
+        logits = logits + attn_bias.astype(jnp.float32)
     if key_valid_mask is not None:
         logits = jnp.where(key_valid_mask[:, None, None, :], logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
     if dropout_rate > 0.0 and dropout_rng is not None:
         keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
         probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
-    out = jnp.einsum("bhqk,bhkv->bhqv", probs, value)
+    out = jnp.einsum(
+        "bhqk,bhkv->bhqv", probs.astype(value.dtype), value,
+        preferred_element_type=jnp.float32,
+    ).astype(value.dtype)
     return combine_heads(out)
 
 

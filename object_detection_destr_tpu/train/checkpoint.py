@@ -82,3 +82,18 @@ def restore_checkpoint(checkpoint_dir: str, name: str, state_template: Any) -> d
 
 def latest_step(restored: dict) -> int:
     return int(np.asarray(restored["state"].step))
+
+
+def restore_for_inference(checkpoint_dir: str, name: str) -> dict:
+    """Structure-free restore of just {params, batch_stats}.
+
+    Inference must not depend on how the checkpoint was trained (optimizer
+    tree shape varies with lr_backbone etc.), so the payload is read raw and
+    only the model variables are returned.
+    """
+    path = _ckpt_dir(checkpoint_dir, name)
+    if not os.path.exists(path):
+        raise FileNotFoundError(f"no checkpoint at {path}")
+    raw = ocp.StandardCheckpointer().restore(path)
+    state = raw["state"]
+    return {"params": state["params"], "batch_stats": state.get("batch_stats", {})}

@@ -228,6 +228,7 @@ def train_ssd(config: Config, mesh=None) -> dict:
     state, tx = create_ssd_state(model, cfg_t, image_size=config.ssd.image_size)
     train_step = make_ssd_train_step(model, tx, cfg_t, config.ssd)
     eval_step = make_ssd_eval_step(model, cfg_t, config.ssd)
+    metric = MeanAveragePrecision(num_cls=config.ssd.num_cls)
 
     canvas = int(config.ssd.image_size * 1.28)  # headroom for the random patch
     train_loader, valid_loader = _make_loaders(config, canvas, "ssd")
@@ -260,16 +261,31 @@ def train_ssd(config: Config, mesh=None) -> dict:
         logger.flush("train")
 
         val_metrics = []
+        metric_state = metric.init_state()
         for raw in valid_loader:
             batch = _device_batch(raw, eval_tf, mesh)
-            _, m = eval_step(state, batch)
+            _, m, detections = eval_step(state, batch)
+            # SSD targets are cxcyhw; the metric compares in xyxy
+            from ..geometry.boxes import cxcyhw_to_xyxy
+
+            metric_state = metric.update(
+                metric_state,
+                detections,
+                {
+                    "boxes": cxcyhw_to_xyxy(batch["boxes"]),
+                    "labels": batch["labels"],
+                    "valid": batch["valid"],
+                },
+            )
             val_metrics.append(m)
         fetched = jax.device_get(val_metrics)
         val_means = {
             k: float(np.mean([f[k] for f in fetched])) for k in fetched[0]
         } if fetched else {}
+        val_map = metric.compute(metric_state)
         for k, v in val_means.items():
             logger.scalar(f"Loss/valid/{k}", v, int(state.step))
+        logger.scalar("Metric/mAP", val_map, int(state.step))
 
         val_loss = val_means.get("loss", np.inf)
         if val_loss < best_val:
@@ -282,6 +298,6 @@ def train_ssd(config: Config, mesh=None) -> dict:
             cfg_t.checkpoint_dir, cfg_t.save_as + "_last", state,
             train_loader.state_dict(), best_val,
         )
-        print(f"epoch {epoch}: {time.time() - t0:.1f}s val={val_loss:.4f}", flush=True)
+        print(f"epoch {epoch}: {time.time() - t0:.1f}s val={val_loss:.4f} mAP={val_map:.4f}", flush=True)
     logger.close()
     return {"best_val": best_val, "state": state}

@@ -140,6 +140,8 @@ def make_ssd_train_step(model, tx, cfg: TrainConfig, ssd_cfg: SSDConfig) -> Call
 
 
 def make_ssd_eval_step(model, cfg: TrainConfig, ssd_cfg: SSDConfig) -> Callable:
+    from ..losses.matcher import decode_ssd_boxes
+
     anchors = flat_anchors(ssd_cfg)
 
     @jax.jit
@@ -148,6 +150,16 @@ def make_ssd_eval_step(model, cfg: TrainConfig, ssd_cfg: SSDConfig) -> Callable:
         outputs = model.apply(variables, batch["images"], train=False)
         targets = _destr_targets(batch)
         losses = ssd_criterion(outputs, targets, anchors, loss_coef=cfg.coef_class_loss)
-        return outputs, losses
+        # decoded detections in the metric's contract ({"pred_class" logits,
+        # "pred_boxes" cxcyhw}) — the reference builds the SSD metric but
+        # leaves it commented out (train_ssd.py:71-74); here it's wired
+        flat = lambda seq: jnp.concatenate(
+            [t.reshape(t.shape[0], -1, t.shape[-1]) for t in seq], axis=1
+        )
+        detections = {
+            "pred_class": flat(outputs["conf"]),
+            "pred_boxes": decode_ssd_boxes(flat(outputs["boxes"]), anchors),
+        }
+        return outputs, losses, detections
 
     return eval_step

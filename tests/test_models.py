@@ -138,3 +138,20 @@ def test_ssd_forward_shapes_300px():
         assert shape == (1, h_w, h_w, num_a, 4), (shape, h_w, num_a)
     for (h_w, num_a), conf in zip(expected, out["conf"]):
         assert conf.shape == (1, h_w, h_w, num_a, cfg.num_cls + 1)
+
+
+def test_destr_learned_position_embedding():
+    """The reference's PositionEmbeddingLearned variant
+    (position_encoding_cdetr.py:93-127) behind DestrConfig.pos_embed."""
+    cfg = DestrConfig(
+        hidden_dim=32, num_heads=4, num_encoder_blocks=1, num_decoder_blocks=1,
+        top_k=4, ffn_dim=64, dropout=0.0, pos_embed="learned",
+    )
+    model = build_destr(cfg)
+    images = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    variables = model.init({"params": jax.random.key(0)}, images, train=False)
+    assert "pos_embedding" in variables["params"]
+    tables = variables["params"]["pos_embedding"]
+    assert tables["row_embed"]["embedding"].shape == (50, 16)
+    model_out, _ = model.apply(variables, images, train=False)
+    assert model_out["pred_class"].shape == (1, 4, 2)
