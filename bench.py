@@ -44,9 +44,7 @@ REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 
 def main() -> None:
     from object_detection_destr_tpu.config import DestrConfig, TrainConfig
-    from object_detection_destr_tpu.losses.criterion import set_criterion
     from object_detection_destr_tpu.models.destr.model import build_destr
-    from object_detection_destr_tpu.train.optim import build_optimizer
     from object_detection_destr_tpu.train.state import create_destr_state
 
     config = DestrConfig(compute_dtype="bfloat16")
@@ -102,44 +100,17 @@ def main() -> None:
             w = time.perf_counter() - t0
             dt = w if dt is None else min(dt, w)
     else:
+        from object_detection_destr_tpu.train.steps import make_destr_train_step
 
-        def one_step(state, batch):
-            def loss_fn(params, batch_stats, rng, batch):
-                (model_out, det_out), mutated = model.apply(
-                    {"params": params, "batch_stats": batch_stats},
-                    batch["images"],
-                    train=True,
-                    rngs={"dropout": rng},
-                    mutable=["batch_stats"],
-                )
-                l_model = set_criterion(model_out, targets)
-                l_det = set_criterion(det_out, targets)
-                w = lambda l: (
-                    train_cfg.set_cost_class * l["class"]
-                    + train_cfg.set_cost_bbox * l["bbox"]
-                    + train_cfg.set_cost_ciou * l["ciou"]
-                )
-                loss = 0.7 * w(l_model) + 0.3 * w(l_det)
-                return loss, (mutated.get("batch_stats", batch_stats), loss)
-
-            rng_key, step_rng = jax.random.split(state.rng)
-            grads, (new_stats, loss) = jax.grad(loss_fn, has_aux=True)(
-                state.params, state.batch_stats, step_rng, batch
-            )
-            new_state = state.apply_gradients(
-                grads, tx, batch_stats=new_stats, rng=rng_key
-            )
-            return new_state, loss
-
-        step = jax.jit(one_step, donate_argnums=(0,))
-        state, loss = step(state, batch)
-        jax.block_until_ready(loss)
+        step = make_destr_train_step(model, tx, train_cfg)  # donates state
+        state, metrics = step(state, batch)
+        jax.block_until_ready(metrics)
         dt = None
         for _ in range(REPEATS):
             t0 = time.perf_counter()
             for _ in range(STEPS):
-                state, loss = step(state, batch)
-            jax.block_until_ready(loss)
+                state, metrics = step(state, batch)
+            jax.block_until_ready(metrics)
             w = time.perf_counter() - t0
             dt = w if dt is None else min(dt, w)
 

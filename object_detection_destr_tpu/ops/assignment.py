@@ -45,6 +45,7 @@ def _auction_single(
     col_valid: jnp.ndarray,
     eps_frac: float,
     max_iters: int,
+    unroll: int = 8,
 ) -> jnp.ndarray:
     """Solve one assignment problem.
 
@@ -109,13 +110,23 @@ def _auction_single(
         prices = jnp.where(got_bid, row_bids, prices)
         return prices, owner_of_row, row_of_col, it + 1
 
+    def body_unrolled(state):
+        # several Jacobi bidding rounds per while trip: the per-round tensors
+        # are tiny ((M, N) maxes), so loop control overhead dominates on TPU
+        # — unrolling cut the measured matcher time ~4x (profile notes in
+        # BASELINE.md). A round with no outstanding bids is a no-op, so
+        # overshooting past convergence is harmless.
+        for _ in range(unroll):
+            state = body(state)
+        return state
+
     init = (
         jnp.zeros((n,), jnp.float32),
         jnp.full((n,), -1, jnp.int32),
         jnp.full((m,), -1, jnp.int32),
         jnp.int32(0),
     )
-    _, _, row_of_col, _ = jax.lax.while_loop(cond, body, init)
+    _, _, row_of_col, _ = jax.lax.while_loop(cond, body_unrolled, init)
 
     # Completion pass: if the iteration cap left columns unassigned (or for
     # invalid columns), fill greedily with the best still-free row so the

@@ -149,7 +149,8 @@ def train_destr(config: Config, mesh=None) -> dict:
 
     last_map = 0.0
     timer = StepTimer(cfg_t.batch_size)
-    for epoch in range(cfg_t.epochs):
+    try:
+      for epoch in range(cfg_t.epochs):
         t0 = time.time()
         # ---- train ----
         metrics = None
@@ -216,6 +217,16 @@ def train_destr(config: Config, mesh=None) -> dict:
             f"mAP={last_map:.4f}",
             flush=True,
         )
+    except KeyboardInterrupt:
+        # crash/preemption recovery (SURVEY.md §5): persist a resumable
+        # checkpoint before exiting — the reference loses the epoch
+        save_checkpoint(
+            cfg_t.checkpoint_dir, cfg_t.save_as + "_interrupt", state,
+            train_loader.state_dict(), best_val,
+        )
+        print("interrupted: checkpoint saved as "
+              f"{cfg_t.save_as}_interrupt", flush=True)
+        raise
     logger.close()
     return {"best_val": best_val, "map": last_map, "state": state}
 
@@ -249,7 +260,8 @@ def train_ssd(config: Config, mesh=None) -> dict:
     )
     eval_tf = lambda im, bx, lb, vd: ssd_eval_transform(im, bx, lb, vd, out_size=out_size)
 
-    for epoch in range(cfg_t.epochs):
+    try:
+      for epoch in range(cfg_t.epochs):
         t0 = time.time()
         for step_in_epoch, raw in enumerate(train_loader):
             step_key = jax.random.fold_in(aug_rng, int(state.step))
@@ -299,5 +311,13 @@ def train_ssd(config: Config, mesh=None) -> dict:
             train_loader.state_dict(), best_val,
         )
         print(f"epoch {epoch}: {time.time() - t0:.1f}s val={val_loss:.4f} mAP={val_map:.4f}", flush=True)
+    except KeyboardInterrupt:
+        save_checkpoint(
+            cfg_t.checkpoint_dir, cfg_t.save_as + "_interrupt", state,
+            train_loader.state_dict(), best_val,
+        )
+        print("interrupted: checkpoint saved as "
+              f"{cfg_t.save_as}_interrupt", flush=True)
+        raise
     logger.close()
     return {"best_val": best_val, "state": state}

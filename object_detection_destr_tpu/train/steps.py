@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from ..config import SSDConfig, TrainConfig
 from ..geometry.boxes import default_boxes
 from ..losses.criterion import set_criterion, ssd_criterion
+from ..losses.matcher import hungarian_cost_matrix
+from ..ops.assignment import batched_assignment
 from .state import TrainState
 
 __all__ = [
@@ -46,6 +48,30 @@ def _destr_targets(batch: dict) -> dict:
     return {"boxes": batch["boxes"], "labels": batch["labels"], "valid": batch["valid"]}
 
 
+def _match_pair(model_out: dict, det_out: dict, targets: dict):
+    """One batched auction solve for both criteria.
+
+    The model (top_k queries) and mini-detector (HW tokens) matchers each run
+    a sequential ``while_loop`` whose per-round cost is fixed-overhead
+    dominated (profile notes in BASELINE.md); stacking the two cost matrices
+    into one (2B, max_N, T) problem halves that overhead. The shorter matrix
+    is padded with +1e6-cost rows — never bid on by the auction and never
+    picked by the completion pass while real free rows exist (N >= T always
+    holds here), so returned indices stay in range.
+    """
+    c1 = hungarian_cost_matrix(model_out, targets)  # (B, N1, T)
+    c2 = hungarian_cost_matrix(det_out, targets)  # (B, N2, T)
+    n = max(c1.shape[1], c2.shape[1])
+    pad = lambda c: jnp.pad(
+        c, ((0, 0), (0, n - c.shape[1]), (0, 0)), constant_values=1e6
+    )
+    cost = jnp.concatenate([pad(c1), pad(c2)], axis=0)
+    valid2 = jnp.concatenate([targets["valid"]] * 2, axis=0)
+    rows = jax.lax.stop_gradient(batched_assignment(cost, valid2))
+    b = c1.shape[0]
+    return rows[:b], rows[b:]
+
+
 def make_destr_train_step(model, tx, cfg: TrainConfig) -> Callable:
     def loss_fn(params, batch_stats, rng, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -57,8 +83,9 @@ def make_destr_train_step(model, tx, cfg: TrainConfig) -> Callable:
             mutable=["batch_stats"],
         )
         targets = _destr_targets(batch)
-        l_model = set_criterion(model_out, targets)
-        l_det = set_criterion(det_out, targets)
+        rows_model, rows_det = _match_pair(model_out, det_out, targets)
+        l_model = set_criterion(model_out, targets, rows=rows_model)
+        l_det = set_criterion(det_out, targets, rows=rows_det)
         loss_model = _weighted(l_model, cfg)
         loss_det = _weighted(l_det, cfg)
         loss = cfg.model_loss_weight * loss_model + cfg.det_loss_weight * loss_det
@@ -89,8 +116,9 @@ def make_destr_eval_step(model, cfg: TrainConfig) -> Callable:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         model_out, det_out = model.apply(variables, batch["images"], train=False)
         targets = _destr_targets(batch)
-        l_model = set_criterion(model_out, targets)
-        l_det = set_criterion(det_out, targets)
+        rows_model, rows_det = _match_pair(model_out, det_out, targets)
+        l_model = set_criterion(model_out, targets, rows=rows_model)
+        l_det = set_criterion(det_out, targets, rows=rows_det)
         metrics = {
             "loss_model": _weighted(l_model, cfg),
             "loss_det": _weighted(l_det, cfg),
