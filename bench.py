@@ -1,4 +1,4 @@
-"""Benchmark harness: DESTR-R50 throughput on the attached chip.
+"""Benchmark harness: detector throughput on the attached chip.
 
 Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
@@ -9,11 +9,12 @@ infer perturbs the image tensor with a data-dependent epsilon so inputs are
 bitwise-fresh every step), so iterations can neither overlap nor be served
 from any (executable, args) result cache in the tunneled runtime. The best
 of REPEATS measurement windows is reported: the attached chip is pooled and
-contention varies between windows (observed 9x swings on identical code);
-max-of-windows estimates uncontended hardware capability. Calibrated against
-a known-FLOPs chained matmul (107 TFLOP/s ~= 54% of v5e bf16 peak).
+contention varies between windows; max-of-windows estimates uncontended
+hardware capability. Calibrated against a known-FLOPs chained matmul
+(107 TFLOP/s ~= 54% of v5e bf16 peak). Full notes: BASELINE.md.
 
-Env overrides: BENCH_BATCH, BENCH_IMAGE, BENCH_STEPS, BENCH_MODE=train|infer.
+Env overrides: BENCH_BATCH, BENCH_IMAGE, BENCH_STEPS, BENCH_MODE=train|infer,
+BENCH_MODEL=destr|ssd, BENCH_BACKBONE=resnet50|resnet101, BENCH_DILATION=1.
 """
 
 from __future__ import annotations
@@ -31,101 +32,147 @@ import numpy as np
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-# round-1 anchor for this benchmark's default config (BASELINE.md measured
-# table); vs_baseline tracks improvement across rounds against it
-BASELINE_IMAGES_PER_SEC: float | None = 107.9  # r1 anchor (BASELINE.md)
+# round-1 pre-optimization anchor for the default config (BASELINE.md
+# measured table); vs_baseline tracks improvement across rounds against it
+BASELINE_IMAGES_PER_SEC: float | None = 107.9
 
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
 IMAGE = int(os.environ.get("BENCH_IMAGE", 640))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
 MODE = os.environ.get("BENCH_MODE", "train")  # train | infer
+MODEL = os.environ.get("BENCH_MODEL", "destr")  # destr | ssd
+BACKBONE = os.environ.get("BENCH_BACKBONE", "resnet50")
+DILATION = os.environ.get("BENCH_DILATION", "0") == "1"
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 
 
-def main() -> None:
-    from object_detection_destr_tpu.config import DestrConfig, TrainConfig
-    from object_detection_destr_tpu.models.destr.model import build_destr
-    from object_detection_destr_tpu.train.state import create_destr_state
-
-    config = DestrConfig(compute_dtype="bfloat16")
-    train_cfg = TrainConfig(batch_size=BATCH, image_size=IMAGE)
-    model = build_destr(config)
-    state, tx = create_destr_state(model, train_cfg, image_size=IMAGE)
-
-    rng = np.random.default_rng(0)
+def _fake_batch(rng, image: int, cxcyhw: bool) -> dict:
     t = 32
-    batch = {
-        "images": jnp.asarray(rng.normal(size=(BATCH, IMAGE, IMAGE, 3)).astype(np.float32)),
-        "boxes": jnp.asarray(
-            np.stack(
-                [
-                    rng.uniform(0.1, 0.4, size=(BATCH, t)),
-                    rng.uniform(0.1, 0.4, size=(BATCH, t)),
-                    rng.uniform(0.5, 0.9, size=(BATCH, t)),
-                    rng.uniform(0.5, 0.9, size=(BATCH, t)),
-                ],
-                -1,
-            ).astype(np.float32)
+    boxes = np.stack(
+        [
+            rng.uniform(0.3, 0.7, size=(BATCH, t)),
+            rng.uniform(0.3, 0.7, size=(BATCH, t)),
+            rng.uniform(0.1, 0.4, size=(BATCH, t)),
+            rng.uniform(0.1, 0.4, size=(BATCH, t)),
+        ],
+        -1,
+    ).astype(np.float32)
+    if not cxcyhw:  # DESTR targets are xyxy
+        cx, cy, h, w = boxes[..., 0], boxes[..., 1], boxes[..., 2], boxes[..., 3]
+        boxes = np.stack(
+            [
+                np.maximum(cx - w / 2, 0),
+                np.maximum(cy - h / 2, 0),
+                np.minimum(cx + w / 2, 1),
+                np.minimum(cy + h / 2, 1),
+            ],
+            -1,
+        )
+    return {
+        "images": jnp.asarray(
+            rng.normal(size=(BATCH, image, image, 3)).astype(np.float32)
         ),
+        "boxes": jnp.asarray(boxes),
         "labels": jnp.zeros((BATCH, t), jnp.int32),
         "valid": jnp.ones((BATCH, t), bool),
     }
-    targets = {k: batch[k] for k in ("boxes", "labels", "valid")}
+
+
+def _time_windows(run_once) -> float:
+    dt = None
+    for _ in range(REPEATS):
+        t0 = time.perf_counter()
+        run_once()
+        w = time.perf_counter() - t0
+        dt = w if dt is None else min(dt, w)
+    return dt
+
+
+def main() -> None:
+    from object_detection_destr_tpu.config import DestrConfig, SSDConfig, TrainConfig
+
+    rng = np.random.default_rng(0)
+    train_cfg = TrainConfig(batch_size=BATCH, image_size=IMAGE)
+
+    if MODEL == "ssd":
+        from object_detection_destr_tpu.models.ssd.model import build_ssd
+        from object_detection_destr_tpu.train.state import create_ssd_state
+        from object_detection_destr_tpu.train.steps import make_ssd_train_step
+
+        ssd_cfg = SSDConfig(compute_dtype="bfloat16")
+        image = ssd_cfg.image_size  # the pyramid closes only at 300px
+        model = build_ssd(ssd_cfg)
+        state, tx = create_ssd_state(model, train_cfg, image_size=image)
+        step = make_ssd_train_step(model, tx, train_cfg, ssd_cfg)
+        batch = _fake_batch(rng, image, cxcyhw=True)
+        name = "SSD-VGG16"
+    else:
+        from object_detection_destr_tpu.models.destr.model import build_destr
+        from object_detection_destr_tpu.train.state import create_destr_state
+        from object_detection_destr_tpu.train.steps import make_destr_train_step
+
+        config = DestrConfig(
+            compute_dtype="bfloat16", backbone=BACKBONE, dilation=DILATION
+        )
+        image = IMAGE
+        model = build_destr(config)
+        state, tx = create_destr_state(model, train_cfg, image_size=image)
+        step = make_destr_train_step(model, tx, train_cfg)
+        batch = _fake_batch(rng, image, cxcyhw=False)
+        name = f"DESTR-{BACKBONE.replace('resnet', 'R')}{'-dil' if DILATION else ''}"
 
     if MODE == "infer":
 
         @jax.jit
         def fwd_chained(params, stats, images):
-            """One forward; returns an image-shaped tensor carrying a true
-            data dependency on the outputs, so chained calls serialize."""
-            out, _ = model.apply(
+            """One forward; output feeds back into the image tensor so
+            chained calls serialize and inputs stay bitwise-fresh."""
+            out = model.apply(
                 {"params": params, "batch_stats": stats}, images, train=False
             )
-            dep = (out["pred_class"].mean() + out["pred_boxes"].mean()).astype(
-                images.dtype
-            )
-            # 1e-3-scale perturbation: bitwise-fresh inputs every step (no
-            # result caching), visually negligible drift over 20 steps
+            leaves = jax.tree.leaves(out)
+            dep = sum(l.mean().astype(images.dtype) for l in leaves)
             return images + dep * 1e-3
 
         x = batch["images"]
         x = fwd_chained(state.params, state.batch_stats, x)
         jax.block_until_ready(x)
-        dt = None
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
+
+        def window():
+            nonlocal x
             for _ in range(STEPS):
                 x = fwd_chained(state.params, state.batch_stats, x)
             jax.block_until_ready(x)
-            w = time.perf_counter() - t0
-            dt = w if dt is None else min(dt, w)
-    else:
-        from object_detection_destr_tpu.train.steps import make_destr_train_step
 
-        step = make_destr_train_step(model, tx, train_cfg)  # donates state
-        state, metrics = step(state, batch)
+        dt = _time_windows(window)
+    else:
+        state, metrics = step(state, batch)  # compile; donates state
         jax.block_until_ready(metrics)
-        dt = None
-        for _ in range(REPEATS):
-            t0 = time.perf_counter()
+
+        def window():
+            nonlocal state, metrics
             for _ in range(STEPS):
                 state, metrics = step(state, batch)
             jax.block_until_ready(metrics)
-            w = time.perf_counter() - t0
-            dt = w if dt is None else min(dt, w)
+
+        dt = _time_windows(window)
 
     images_per_sec = BATCH * STEPS / dt
+    default_config = (
+        MODE == "train" and MODEL == "destr" and BACKBONE == "resnet50"
+        and not DILATION and (BATCH, IMAGE) == (8, 640)
+    )
     vs = (
         images_per_sec / BASELINE_IMAGES_PER_SEC
-        if BASELINE_IMAGES_PER_SEC and MODE == "train" and (BATCH, IMAGE) == (8, 640)
+        if BASELINE_IMAGES_PER_SEC and default_config
         else 1.0
     )
     print(
         json.dumps(
             {
                 "metric": (
-                    f"DESTR-R50 {MODE} images/sec/chip "
-                    f"(bf16, {IMAGE}px, b{BATCH}, chained steps)"
+                    f"{name} {MODE} images/sec/chip "
+                    f"(bf16, {image}px, b{BATCH}, chained steps)"
                 ),
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec/chip",
