@@ -82,6 +82,9 @@ class TrainConfig:
     seed: int = 0
     # jax.profiler trace of a few early steps lands here (train/profiler.py)
     profile_dir: Optional[str] = None
+    # also compute COCO-style AP (101-point, IoU 0.5:0.95) at validation —
+    # the BASELINE.json north-star metric; the reference metric stays on
+    coco_eval: bool = False
     # model-loss / mini-detector-loss blend (train.py:172-175)
     model_loss_weight: float = 0.7
     det_loss_weight: float = 0.3

@@ -25,8 +25,6 @@ from __future__ import annotations
 import json
 import os
 import xml.etree.ElementTree as ET
-from typing import Optional, Sequence
-
 import numpy as np
 
 __all__ = [

@@ -24,8 +24,6 @@ Re-design of the reference MiniDetector (mini_detector.py:7-172):
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -6,7 +6,6 @@ defaults for drop-in parity — plus the handful of knobs the TPU build adds
 from __future__ import annotations
 
 import argparse
-import dataclasses
 
 from ..config import Config, DataConfig, DestrConfig, SSDConfig, TrainConfig
 
@@ -28,6 +27,8 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--log_interval", type=int, default=100)
     p.add_argument("--profile_dir", type=str, default=None,
                    help="write a jax.profiler trace of early steps here")
+    p.add_argument("--coco_eval", action="store_true",
+                   help="also compute COCO-style AP at validation")
     # the reference's --device selects cuda/cpu (arg_parser.py:85-89);
     # here devices come from the mesh — the flag is accepted and ignored
     p.add_argument("--device", type=str, default="tpu")
@@ -88,6 +89,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         seed=args.seed,
         log_interval=args.log_interval,
         profile_dir=args.profile_dir,
+        coco_eval=args.coco_eval,
         image_size=getattr(args, "image_size", 640),
     )
     destr = DestrConfig(

@@ -18,10 +18,9 @@ TPU-first differences:
 from __future__ import annotations
 
 import time
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
@@ -32,14 +31,13 @@ from ..data.transforms import (
     ssd_eval_transform,
     ssd_train_transform,
 )
-from ..losses.metrics import MeanAveragePrecision
+from ..losses.metrics import CocoAveragePrecision, MeanAveragePrecision
 from ..models.destr.model import build_destr
 from ..models.ssd.model import build_ssd
 from ..parallel.mesh import auto_mesh, replicated_sharding, shard_batch
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .logging_utils import MetricLogger
 from .profiler import StepTimer
-from .optim import build_optimizer
 from .state import create_destr_state, create_ssd_state
 from .steps import (
     make_destr_eval_step,
@@ -124,6 +122,11 @@ def train_destr(config: Config, mesh=None) -> dict:
     train_step = make_destr_train_step(model, tx, cfg_t)
     eval_step = make_destr_eval_step(model, cfg_t)
     metric = MeanAveragePrecision(num_cls=1, num_pred=config.destr.top_k)
+    coco_metric = (
+        CocoAveragePrecision(num_cls=max(config.destr.num_cls - 1, 1))
+        if cfg_t.coco_eval
+        else None
+    )
 
     canvas = int(cfg_t.image_size * 672 / 640)  # reference eval geometry
     train_loader, valid_loader = _make_loaders(config, canvas, "destr")
@@ -175,15 +178,18 @@ def train_destr(config: Config, mesh=None) -> dict:
 
         # ---- validate ----
         metric_state = metric.init_state()
+        if coco_metric is not None:
+            coco_metric.reset()
         val_metrics: list = []
         for raw in valid_loader:
             batch = _device_batch(raw, eval_tf, mesh)
             outputs, m = eval_step(state, batch)
-            metric_state = metric.update(
-                metric_state,
-                outputs,
-                {"boxes": batch["boxes"], "labels": batch["labels"], "valid": batch["valid"]},
-            )
+            val_targets = {
+                "boxes": batch["boxes"], "labels": batch["labels"], "valid": batch["valid"]
+            }
+            metric_state = metric.update(metric_state, outputs, val_targets)
+            if coco_metric is not None:
+                coco_metric.update(outputs, val_targets)
             val_metrics.append(m)
         fetched = jax.device_get(val_metrics)
         val_means = {
@@ -193,6 +199,8 @@ def train_destr(config: Config, mesh=None) -> dict:
         for k, v in val_means.items():
             logger.scalar(f"Loss/valid/{k}", v, int(state.step))
         logger.scalar("Metric/mAP", last_map, int(state.step))
+        if coco_metric is not None:
+            logger.scalar("Metric/coco_mAP", coco_metric.compute(), int(state.step))
 
         # ---- best checkpoint on lowest model val loss (train.py:123-128) ----
         val_model = val_means.get("loss_model", np.inf)

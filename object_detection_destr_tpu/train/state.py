@@ -12,7 +12,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from ..config import DestrConfig, SSDConfig, TrainConfig
+from ..config import TrainConfig
 from ..models.destr.model import DESTR
 from ..models.ssd.model import SSD
 from .optim import build_optimizer
