@@ -36,6 +36,9 @@ class DestrConfig:
     # flatten-order quirk of pair_self_attention.py:99-105 (see REFCOMPAT.md)
     pair_output_mode: str = "reference"
     compute_dtype: str = "float32"  # "bfloat16" for MXU-friendly training
+    # rematerialize encoder/decoder blocks in the backward pass — trades
+    # FLOPs for activation memory (useful at 1333px / large batch)
+    remat: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -72,6 +75,7 @@ class TrainConfig:
     set_cost_bbox: float = 0.0
     set_cost_ciou: float = 0.5
     coef_class_loss: float = 0.5  # SSD class/local blend
+    grad_accum_steps: int = 1  # optax.MultiSteps; 1 = off
     augment_factor: int = 5
     resume: bool = False
     resume_from: str = "model_weights"

@@ -168,11 +168,15 @@ class Decoder(nn.Module):
     pair_mode: str = "reference"
     pair_output_mode: str = "reference"
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         self.pos_scale = Mlp([self.hidden_dim, self.hidden_dim], dtype=self.dtype, name="pos_scale")
+        block_cls = (
+            nn.remat(DecoderBlock, static_argnums=(8,)) if self.remat else DecoderBlock
+        )
         self.blocks = [
-            DecoderBlock(
+            block_cls(
                 self.hidden_dim,
                 self.num_heads,
                 self.dropout,

@@ -65,11 +65,15 @@ class Encoder(nn.Module):
     num_blocks: int = 6
     dropout: float = 0.3
     dtype: jnp.dtype = jnp.float32
+    remat: bool = False
 
     def setup(self):
         self.pos_scale = Mlp([self.hidden_dim, self.hidden_dim], dtype=self.dtype, name="pos_scale")
+        block_cls = (
+            nn.remat(EncoderBlock, static_argnums=(4,)) if self.remat else EncoderBlock
+        )
         self.blocks = [
-            EncoderBlock(
+            block_cls(
                 self.hidden_dim, self.num_heads, self.ffn_dim, self.dropout,
                 dtype=self.dtype, name=f"block{i}"
             )

@@ -71,6 +71,7 @@ class DESTR(nn.Module):
             num_blocks=cfg.num_encoder_blocks,
             dropout=cfg.dropout,
             dtype=dtype,
+            remat=cfg.remat,
             name="encoder",
         )
         self.decoder = Decoder(
@@ -82,6 +83,7 @@ class DESTR(nn.Module):
             pair_mode=cfg.pair_mode,
             pair_output_mode=cfg.pair_output_mode,
             dtype=dtype,
+            remat=cfg.remat,
             name="decoder",
         )
         self.mini_detector = MiniDetector(

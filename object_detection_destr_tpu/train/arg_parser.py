@@ -29,6 +29,7 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help="write a jax.profiler trace of early steps here")
     p.add_argument("--coco_eval", action="store_true",
                    help="also compute COCO-style AP at validation")
+    p.add_argument("--grad_accum_steps", type=int, default=1)
     # the reference's --device selects cuda/cpu (arg_parser.py:85-89);
     # here devices come from the mesh — the flag is accepted and ignored
     p.add_argument("--device", type=str, default="tpu")
@@ -90,6 +91,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         log_interval=args.log_interval,
         profile_dir=args.profile_dir,
         coco_eval=args.coco_eval,
+        grad_accum_steps=args.grad_accum_steps,
         image_size=getattr(args, "image_size", 640),
     )
     destr = DestrConfig(

@@ -54,7 +54,11 @@ def build_optimizer(
     lr_backbone: float = 1e-4,
     weight_decay: float = 0.01,  # torch AdamW default, used by train.py:240
     grad_clip: float | None = None,
+    grad_accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """AdamW with per-group LRs; optional global-norm clip and gradient
+    accumulation (``optax.MultiSteps`` — the reference has none, SURVEY.md
+    §2.2 lists it as an optional wrapper for large effective batches)."""
     transforms = {
         "main": optax.adamw(lr, weight_decay=weight_decay),
         "backbone": (
@@ -67,4 +71,6 @@ def build_optimizer(
     tx = optax.multi_transform(transforms, param_labels(params))
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if grad_accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx

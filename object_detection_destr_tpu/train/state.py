@@ -50,6 +50,7 @@ def _init_state(model, dummy_images, train_cfg: TrainConfig, seed_shift: int = 0
         params,
         lr=train_cfg.lr,
         lr_backbone=train_cfg.lr_backbone,
+        grad_accum_steps=train_cfg.grad_accum_steps,
     )
     return (
         TrainState(

@@ -188,3 +188,22 @@ def dataclasses_replace(cfg, **kw):
     import dataclasses
 
     return dataclasses.replace(cfg, **kw)
+
+
+def test_grad_accumulation_updates_every_k():
+    """optax.MultiSteps wrapper: params move only every k-th micro-batch."""
+    import dataclasses
+
+    model = build_destr(TINY_DESTR)
+    cfg = dataclasses.replace(TINY_TRAIN, grad_accum_steps=2)
+    state, tx = create_destr_state(model, cfg, image_size=64)
+    train_step = make_destr_train_step(model, tx, cfg)
+    rng = np.random.default_rng(5)
+    batch = _tiny_batch(rng)
+    p0 = jax.device_get(state.params["cls_embed"]["kernel"])
+    state, _ = train_step(state, batch)
+    p1 = jax.device_get(state.params["cls_embed"]["kernel"])
+    np.testing.assert_array_equal(p0, p1)  # first micro-batch only accumulates
+    state, _ = train_step(state, batch)
+    p2 = jax.device_get(state.params["cls_embed"]["kernel"])
+    assert not np.allclose(p1, p2)  # second one applies the update
