@@ -34,7 +34,15 @@ from ..data.transforms import (
 from ..losses.metrics import CocoAveragePrecision, MeanAveragePrecision
 from ..models.destr.model import build_destr
 from ..models.ssd.model import build_ssd
-from ..parallel.mesh import auto_mesh, replicated_sharding, shard_batch
+from ..parallel.mesh import auto_mesh, make_mesh, replicated_sharding, shard_batch
+
+
+def _default_mesh(cfg_t):
+    """num_data_shards > 1 pins the data-axis size; otherwise the largest
+    device count dividing the batch is used."""
+    if cfg_t.num_data_shards > 1:
+        return make_mesh(num_data=cfg_t.num_data_shards)
+    return auto_mesh(cfg_t.batch_size)
 from .checkpoint import restore_checkpoint, save_checkpoint
 from .logging_utils import MetricLogger
 from .profiler import StepTimer
@@ -116,7 +124,7 @@ def _device_batch(raw: dict, transform: Callable, mesh, rng=None):
 def train_destr(config: Config, mesh=None) -> dict:
     """Train DESTR; returns {"best_val", "map", "state"}."""
     cfg_t = config.train
-    mesh = mesh or auto_mesh(cfg_t.batch_size)
+    mesh = mesh or _default_mesh(cfg_t)
     model = build_destr(config.destr)
     state, tx = create_destr_state(model, cfg_t, image_size=cfg_t.image_size)
     train_step = make_destr_train_step(model, tx, cfg_t)
@@ -242,7 +250,7 @@ def train_destr(config: Config, mesh=None) -> dict:
 def train_ssd(config: Config, mesh=None) -> dict:
     """Train SSD; returns {"best_val", "state"}."""
     cfg_t = config.train
-    mesh = mesh or auto_mesh(cfg_t.batch_size)
+    mesh = mesh or _default_mesh(cfg_t)
     model = build_ssd(config.ssd)
     state, tx = create_ssd_state(model, cfg_t, image_size=config.ssd.image_size)
     train_step = make_ssd_train_step(model, tx, cfg_t, config.ssd)

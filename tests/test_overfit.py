@@ -80,3 +80,51 @@ def test_destr_overfits_single_batch():
     )
     ap = metric.compute(m_state)
     assert ap > 0.3, f"overfit mAP only {ap}"
+
+
+@pytest.mark.slow
+def test_ssd_overfits_single_batch():
+    """SSD end-to-end learning: anchor matching + smooth-L1 + hard-negative
+    mining must drive the combined loss down on a fixed tiny batch."""
+    from object_detection_destr_tpu.config import SSDConfig
+    from object_detection_destr_tpu.models.ssd.model import build_ssd
+    from object_detection_destr_tpu.train.state import create_ssd_state
+    from object_detection_destr_tpu.train.steps import make_ssd_train_step
+    from object_detection_destr_tpu.geometry.boxes import xyxy_to_cxcyhw
+    import jax.numpy as jnp
+
+    ssd_cfg = SSDConfig(num_cls=3)
+    train_cfg = TrainConfig(batch_size=2, lr=5e-4)
+    model = build_ssd(ssd_cfg)
+    state, tx = create_ssd_state(model, train_cfg, image_size=ssd_cfg.image_size)
+    train_step = make_ssd_train_step(model, tx, train_cfg, ssd_cfg)
+
+    ds = SyntheticDetection(
+        num_samples=2, image_size=ssd_cfg.image_size, max_boxes=2, num_classes=3, seed=9
+    )
+    t = 3
+    imgs, bxs, lbs, vds = [], [], [], []
+    for i in range(2):
+        img, bx, lb = ds[i]
+        imgs.append(img)
+        pb = np.zeros((t, 4), np.float32)
+        pl = np.zeros((t,), np.int32)
+        pv = np.zeros((t,), bool)
+        n = min(len(bx), t)
+        pb[:n], pl[:n], pv[:n] = bx[:n], lb[:n], True
+        bxs.append(pb), lbs.append(pl), vds.append(pv)
+    batch = {
+        "images": normalize_imagenet(jnp.asarray(np.stack(imgs))),
+        "boxes": xyxy_to_cxcyhw(jnp.asarray(np.stack(bxs))),  # SSD trains cxcyhw
+        "labels": jnp.asarray(np.stack(lbs)),
+        "valid": jnp.asarray(np.stack(vds)),
+    }
+
+    first = None
+    for step in range(40):
+        state, metrics = train_step(state, batch)
+        if step == 0:
+            first = float(jax.device_get(metrics["loss"]))
+    last = float(jax.device_get(metrics["loss"]))
+    assert np.isfinite(last)
+    assert last < 0.7 * first, (first, last)
