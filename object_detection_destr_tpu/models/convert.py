@@ -20,7 +20,12 @@ from typing import Any, Mapping, Sequence
 
 import numpy as np
 
-__all__ = ["resnet_params_from_torch", "vgg16_params_from_torch"]
+__all__ = [
+    "resnet_params_from_torch",
+    "vgg16_params_from_torch",
+    "destr_encoder_params_from_torch",
+    "destr_decoder_params_from_torch",
+]
 
 
 def _np(t) -> np.ndarray:
@@ -76,6 +81,97 @@ def resnet_params_from_torch(
                 }
                 block["downsample_bn"] = _bn(sd, f"{tp}.downsample.1")
             params[scope] = block
+    return params
+
+
+def _linear(sd: Mapping[str, Any], prefix: str, bias: bool = True) -> dict:
+    """torch Linear (out, in) -> flax Dense kernel (in, out) [+ bias]."""
+    out = {"kernel": _np(sd[f"{prefix}.weight"]).T}
+    if bias:
+        out["bias"] = _np(sd[f"{prefix}.bias"])
+    return out
+
+
+def _layernorm(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def destr_encoder_params_from_torch(sd: Mapping[str, Any], num_blocks: int = 6) -> dict:
+    """Map the reference DESTR ``Encoder`` state_dict (encoder_block.py:8-112)
+    onto ``models/destr/encoder.Encoder``'s param tree.
+
+    torch ``nn.MultiheadAttention`` packs q/k/v into ``in_proj_weight``
+    (3C, C) — split row-wise into our separate q/k/v Dense kernels. The
+    reference's dead ``_proj_to_{q,k,v}`` Linears (never called,
+    encoder_block.py:76-82) are dropped.
+    """
+    params: dict = {
+        "pos_scale": {
+            "fc0": _linear(sd, "_pos_scale.0"),
+            "fc1": _linear(sd, "_pos_scale.2"),
+        },
+        "outer_norm": _layernorm(sd, "norm"),
+    }
+    for i in range(num_blocks):
+        tp = f"_encoder.{i}"
+        w = _np(sd[f"{tp}.self_attn.in_proj_weight"])  # (3C, C)
+        b = _np(sd[f"{tp}.self_attn.in_proj_bias"])  # (3C,)
+        c = w.shape[1]
+        attn = {
+            "q_proj": {"kernel": w[:c].T, "bias": b[:c]},
+            "k_proj": {"kernel": w[c : 2 * c].T, "bias": b[c : 2 * c]},
+            "v_proj": {"kernel": w[2 * c :].T, "bias": b[2 * c :]},
+            "out_proj": _linear(sd, f"{tp}.self_attn.out_proj"),
+        }
+        params[f"block{i}"] = {
+            "self_attn": attn,
+            "fc1": _linear(sd, f"{tp}.fc1"),
+            "fc2": _linear(sd, f"{tp}.fc2"),
+            "norm1": _layernorm(sd, f"{tp}.norm1"),
+            "norm2": _layernorm(sd, f"{tp}.norm2"),
+        }
+    return params
+
+
+def destr_decoder_params_from_torch(sd: Mapping[str, Any], num_blocks: int = 6) -> dict:
+    """Map the reference DESTR ``Decoder`` state_dict (decoder_block.py:12-274)
+    onto ``models/destr/decoder.Decoder``'s param tree (all self/cross
+    projection Linears are bias-free in both)."""
+    params: dict = {
+        "pos_scale": {
+            "fc0": _linear(sd, "_pos_scale.0"),
+            "fc1": _linear(sd, "_pos_scale.2"),
+        },
+        "outer_norm": _layernorm(sd, "norm"),
+    }
+    proj_map = {
+        "sa_q_obj": "_sa_proj_to_q_obj",
+        "sa_q_pos": "_sa_proj_to_q_pos",
+        "sa_k_obj": "_sa_proj_to_k_obj",
+        "sa_k_pos": "_sa_proj_to_k_pos",
+        "sa_v_obj": "_sa_proj_to_v_obj",
+        "ca_q_obj": "_ca_proj_to_q_obj",
+        "ca_q_pos": "_ca_proj_to_q_pos",
+        "ca_k_enc": "_ca_proj_to_k_enc",
+        "ca_k_pos": "_ca_proj_to_k_pos",
+        "ca_v_enc": "_ca_proj_to_v_enc",
+    }
+    for i in range(num_blocks):
+        tp = f"_decoder.{i}"
+        block: dict = {
+            ours: _linear(sd, f"{tp}.{theirs}", bias=False)
+            for ours, theirs in proj_map.items()
+        }
+        block["norm1"] = _layernorm(sd, f"{tp}.norm1")
+        block["norm2"] = _layernorm(sd, f"{tp}.norm2")
+        for branch, theirs in (("cls_branch", "_cls_branch"), ("reg_branch", "_reg_branch")):
+            block[branch] = {
+                "fc1": _linear(sd, f"{tp}.{theirs}.fc1"),
+                "fc2": _linear(sd, f"{tp}.{theirs}.fc2"),
+                "norm1": _layernorm(sd, f"{tp}.{theirs}.norm1"),
+                "norm2": _layernorm(sd, f"{tp}.{theirs}.norm2"),
+            }
+        params[f"block{i}"] = block
     return params
 
 

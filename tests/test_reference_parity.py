@@ -310,3 +310,115 @@ def test_map_metric_matches_reference_metric():
         },
     )
     np.testing.assert_allclose(metric.compute(state), float(ref_ap), atol=1e-6)
+
+
+def test_encoder_weight_transfer_parity():
+    """Whole-encoder functional equivalence: reference Encoder weights
+    converted into our flax Encoder must produce the same tokens (masked
+    MHSA, content-adaptive pos scaling, shared outer residual norm)."""
+    from src.model.blocks.encoder_block import Encoder as RefEncoder
+    from src.model.blocks.encoder_block import EncoderBlock as RefBlock
+
+    from object_detection_destr_tpu.models.convert import (
+        destr_encoder_params_from_torch,
+    )
+    from object_detection_destr_tpu.models.destr.encoder import Encoder
+
+    torch.manual_seed(0)
+    num_blocks, c, heads = 2, 256, 8
+    ref = RefEncoder(RefBlock(hidden_dim=c, heads_num=heads), num_blocks)
+    ref.eval()
+
+    rng = np.random.default_rng(10)
+    b, h, w = 2, 3, 3
+    x = rng.normal(size=(b, c, h, w)).astype(np.float32)
+    pos = rng.normal(size=(b, c, h, w)).astype(np.float32)
+    pad_mask = np.zeros((b, h, w), bool)
+    pad_mask[0, 2, :] = True  # padded bottom row in image 0
+
+    with torch.no_grad():
+        ref_out = ref(T(x), T(pad_mask), T(pos)).numpy()  # (B, C, H, W)
+
+    params = destr_encoder_params_from_torch(ref.state_dict(), num_blocks)
+    ours_mod = Encoder(hidden_dim=c, num_heads=heads, ffn_dim=2048, num_blocks=num_blocks)
+    tokens = jnp.asarray(x.reshape(b, c, h * w).transpose(0, 2, 1))
+    pos_tokens = jnp.asarray(pos.reshape(b, c, h * w).transpose(0, 2, 1))
+    valid = jnp.asarray(~pad_mask.reshape(b, h * w))
+    ours = ours_mod.apply({"params": params}, tokens, pos_tokens, valid)
+    ours_map = np.asarray(ours).transpose(0, 2, 1).reshape(b, c, h, w)
+    np.testing.assert_allclose(ours_map, ref_out, rtol=2e-4, atol=2e-5)
+
+
+def test_decoder_weight_transfer_parity():
+    """Whole-decoder functional equivalence with the reference: pair + plain
+    self-attention blend, split cls/reg concat-QK cross-attention, per-layer
+    box refinement with a shared bbox head, outer residual norm."""
+    from src.model.blocks.decoder_block import Decoder as RefDecoder
+    from src.model.blocks.decoder_block import DecoderBlock as RefBlock
+
+    from flax import linen as nn
+    from object_detection_destr_tpu.models.convert import (
+        destr_decoder_params_from_torch,
+    )
+    from object_detection_destr_tpu.models.destr.decoder import Decoder
+    from object_detection_destr_tpu.models.destr.layers import Mlp
+
+    torch.manual_seed(1)
+    num_blocks, c, heads = 2, 256, 8
+    ref = RefDecoder(RefBlock(hidden_dim=c, heads_num=heads), num_blocks)
+    ref.eval()
+    # REFCOMPAT defect #2: the reference's SelfAttention constructs
+    # nn.Dropout inside forward, so eval() does NOT disable it — zero the
+    # probability on the instances to get deterministic reference outputs
+    for blk in ref._decoder:
+        blk._self_attn._dropout_prob = 0.0
+        blk._cls_branch.cross_attn._dropout_prob = 0.0
+        blk._reg_branch.cross_attn._dropout_prob = 0.0
+
+    ref_bbox = torch.nn.Sequential(
+        torch.nn.Linear(c, c), torch.nn.ReLU(), torch.nn.Linear(c, 4)
+    )
+    ref_bbox.eval()
+
+    rng = np.random.default_rng(11)
+    b, s, l = 2, 5, 9
+    objects = rng.normal(size=(b, s, 2 * c)).astype(np.float32) * 0.5
+    enc = rng.normal(size=(b, l, c)).astype(np.float32) * 0.5
+    fine_pos = rng.normal(size=(b, l, c)).astype(np.float32) * 0.5
+    obj_pos = rng.normal(size=(b, s, c)).astype(np.float32) * 0.5
+    centers = rng.uniform(0.3, 0.7, size=(b, s, 2)).astype(np.float32)
+    pad = np.zeros((b, l), bool)
+    pad[0, 7:] = True
+
+    with torch.no_grad():
+        ref_out = ref(
+            T(objects), T(enc), T(pad), T(fine_pos), T(obj_pos),
+            T(centers), ref_bbox,
+        ).numpy()
+
+    class Wrap(nn.Module):
+        def setup(self):
+            self.dec = Decoder(hidden_dim=c, num_heads=heads, num_blocks=num_blocks)
+            self.bbox = Mlp([c, 4])
+
+        def __call__(self, objects, enc, valid, fine_pos, obj_pos, centers):
+            return self.dec(
+                objects, enc, valid, fine_pos, obj_pos, centers,
+                bbox_embed=self.bbox, deterministic=True,
+            )
+
+    params = {
+        "dec": destr_decoder_params_from_torch(ref.state_dict(), num_blocks),
+        "bbox": {
+            "fc0": {"kernel": ref_bbox[0].weight.detach().numpy().T,
+                    "bias": ref_bbox[0].bias.detach().numpy()},
+            "fc1": {"kernel": ref_bbox[2].weight.detach().numpy().T,
+                    "bias": ref_bbox[2].bias.detach().numpy()},
+        },
+    }
+    ours = Wrap().apply(
+        {"params": params},
+        jnp.asarray(objects), jnp.asarray(enc), jnp.asarray(~pad),
+        jnp.asarray(fine_pos), jnp.asarray(obj_pos), jnp.asarray(centers),
+    )
+    np.testing.assert_allclose(np.asarray(ours), ref_out, rtol=2e-4, atol=2e-4)
