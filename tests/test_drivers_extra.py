@@ -117,3 +117,48 @@ def test_resnet101_dilated_destr_forward():
     # dilation: C5 at stride 16 -> 4x4 = 16 tokens
     assert det_out["pred_class"].shape[1] == 16
     assert model_out["pred_boxes"].shape == (1, 4, 4)
+
+
+@pytest.mark.slow
+def test_widerface_format_end_to_end(tmp_path):
+    """Full driver run over an on-disk WIDER-FACE-format dataset (reader ->
+    loader -> device augment -> train/val -> checkpoint), not just reader
+    units."""
+    import numpy as np
+    from PIL import Image
+
+    from object_detection_destr_tpu.train.driver import train_destr
+
+    rng = np.random.default_rng(0)
+    for split in ("train", "val"):
+        img_dir = tmp_path / f"WIDER_{split}" / "images" / "0--Scene"
+        img_dir.mkdir(parents=True)
+        (tmp_path / "wider_face_split").mkdir(exist_ok=True)
+        lines = []
+        for i in range(4):
+            img = rng.integers(0, 40, size=(64, 64, 3), dtype=np.uint8)
+            img[20:40, 10:30] = [250, 20, 20]  # one bright face box
+            Image.fromarray(img).save(img_dir / f"{i}.jpg")
+            lines += [f"0--Scene/{i}.jpg", "1", "10 20 20 20 0 0 0 0 0 0"]
+        (tmp_path / "wider_face_split" / f"wider_face_{split}_bbx_gt.txt").write_text(
+            "\n".join(lines) + "\n"
+        )
+
+    config = Config(
+        destr=DestrConfig(
+            hidden_dim=32, num_heads=4, num_encoder_blocks=1, num_decoder_blocks=1,
+            top_k=4, ffn_dim=64, dropout=0.0,
+        ),
+        train=TrainConfig(
+            batch_size=2, image_size=64, epochs=1, lr=1e-3, lr_backbone=0.0,
+            checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "runs"),
+            log_interval=1,
+        ),
+        data=DataConfig(
+            dataset="widerface", root=str(tmp_path), image_size=64,
+            augment_factor=1, max_targets=8,
+        ),
+    )
+    result = train_destr(config)
+    assert np.isfinite(result["best_val"])
+    assert os.path.exists(os.path.join(str(tmp_path / "ckpt"), "model_weights"))
