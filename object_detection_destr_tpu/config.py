@@ -39,6 +39,9 @@ class DestrConfig:
     # rematerialize encoder/decoder blocks in the backward pass — trades
     # FLOPs for activation memory (useful at 1333px / large batch)
     remat: bool = False
+    # fused Pallas flash attention for the encoder MHSA (no (S, S) logits in
+    # HBM) — worthwhile at long token counts (dilated 1333px: 7056 tokens)
+    use_flash_attention: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

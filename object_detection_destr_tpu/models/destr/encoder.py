@@ -35,6 +35,7 @@ class EncoderBlock(nn.Module):
     ffn_dim: int = 2048
     dropout: float = 0.3
     dtype: jnp.dtype = jnp.float32
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -45,7 +46,10 @@ class EncoderBlock(nn.Module):
         deterministic: bool = True,
     ) -> jnp.ndarray:
         qk = x + pos_embed
-        attn = MultiHeadAttention(self.num_heads, self.dropout, dtype=self.dtype, name="self_attn")(
+        attn = MultiHeadAttention(
+            self.num_heads, self.dropout, dtype=self.dtype,
+            use_flash=self.use_flash, name="self_attn",
+        )(
             qk, qk, x, key_valid_mask=valid_mask, deterministic=deterministic
         )
         x = x + nn.Dropout(self.dropout, deterministic=deterministic)(attn)
@@ -66,6 +70,7 @@ class Encoder(nn.Module):
     dropout: float = 0.3
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
+    use_flash: bool = False
 
     def setup(self):
         self.pos_scale = Mlp([self.hidden_dim, self.hidden_dim], dtype=self.dtype, name="pos_scale")
@@ -75,7 +80,7 @@ class Encoder(nn.Module):
         self.blocks = [
             block_cls(
                 self.hidden_dim, self.num_heads, self.ffn_dim, self.dropout,
-                dtype=self.dtype, name=f"block{i}"
+                dtype=self.dtype, use_flash=self.use_flash, name=f"block{i}"
             )
             for i in range(self.num_blocks)
         ]

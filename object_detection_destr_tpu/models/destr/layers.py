@@ -8,6 +8,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.attention import scaled_dot_product_attention, split_heads
+from ...ops.pallas.flash_attention import flash_attention_trainable
 
 __all__ = ["Mlp", "MultiHeadAttention", "LearnedPositionEmbedding"]
 
@@ -75,6 +76,10 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    # fused Pallas attention path (ops/pallas/flash_attention.py). NOTE:
+    # the kernel has no attention-probability dropout; when enabled, the
+    # block's residual dropouts remain the only stochastic regularizers.
+    use_flash: bool = False
 
     @nn.compact
     def __call__(
@@ -89,15 +94,25 @@ class MultiHeadAttention(nn.Module):
         q = nn.Dense(d, dtype=self.dtype, name="q_proj")(query)
         k = nn.Dense(d, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(d, dtype=self.dtype, name="v_proj")(value)
-        rng = None
-        if not deterministic and self.dropout > 0:
-            rng = self.make_rng("dropout")
-        out = scaled_dot_product_attention(
-            split_heads(q, self.num_heads),
-            split_heads(k, self.num_heads),
-            split_heads(v, self.num_heads),
-            key_valid_mask=key_valid_mask,
-            dropout_rate=self.dropout,
-            dropout_rng=rng,
-        )
+        if self.use_flash:
+            out4 = flash_attention_trainable(
+                split_heads(q, self.num_heads),
+                split_heads(k, self.num_heads),
+                split_heads(v, self.num_heads),
+                key_valid_mask,
+            )
+            b_, h_, s_, d_ = out4.shape
+            out = out4.transpose(0, 2, 1, 3).reshape(b_, s_, h_ * d_)
+        else:
+            rng = None
+            if not deterministic and self.dropout > 0:
+                rng = self.make_rng("dropout")
+            out = scaled_dot_product_attention(
+                split_heads(q, self.num_heads),
+                split_heads(k, self.num_heads),
+                split_heads(v, self.num_heads),
+                key_valid_mask=key_valid_mask,
+                dropout_rate=self.dropout,
+                dropout_rng=rng,
+            )
         return nn.Dense(d, dtype=self.dtype, name="out_proj")(out)

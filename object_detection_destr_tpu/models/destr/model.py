@@ -72,6 +72,7 @@ class DESTR(nn.Module):
             dropout=cfg.dropout,
             dtype=dtype,
             remat=cfg.remat,
+            use_flash=cfg.use_flash_attention,
             name="encoder",
         )
         self.decoder = Decoder(
