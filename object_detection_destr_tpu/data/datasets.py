@@ -263,5 +263,9 @@ def build_dataset(
     if name == "voc":
         return VocDetection(root, split)
     if name == "coco":
-        return CocoDetection(root, split)
+        # generic split names map to the 2017 layout
+        coco_split = {"train": "train2017", "valid": "val2017", "val": "val2017"}.get(
+            split, split
+        )
+        return CocoDetection(root, coco_split)
     raise ValueError(f"unknown dataset {name!r}")

@@ -162,3 +162,54 @@ def test_widerface_format_end_to_end(tmp_path):
     result = train_destr(config)
     assert np.isfinite(result["best_val"])
     assert os.path.exists(os.path.join(str(tmp_path / "ckpt"), "model_weights"))
+
+
+@pytest.mark.slow
+def test_coco_format_end_to_end(tmp_path):
+    """Driver run over an on-disk COCO-format dataset (BASELINE.json's
+    primary data family), reader -> loader -> train/val."""
+    import json as _json
+
+    import numpy as np
+    from PIL import Image
+
+    from object_detection_destr_tpu.train.driver import train_destr
+
+    rng = np.random.default_rng(1)
+    for split in ("train2017", "val2017"):
+        (tmp_path / split).mkdir()
+    (tmp_path / "annotations").mkdir()
+    for split in ("train2017", "val2017"):
+        images, annotations = [], []
+        for i in range(4):
+            img = rng.integers(0, 40, size=(64, 64, 3), dtype=np.uint8)
+            img[16:48, 16:48] = [20, 240, 20]
+            Image.fromarray(img).save(tmp_path / split / f"{i}.jpg")
+            images.append({"id": i, "file_name": f"{i}.jpg", "width": 64, "height": 64})
+            annotations.append(
+                {"id": i, "image_id": i, "category_id": 7,
+                 "bbox": [16, 16, 32, 32], "iscrowd": 0}
+            )
+        coco = {"images": images, "annotations": annotations,
+                "categories": [{"id": 7, "name": "thing"}]}
+        (tmp_path / "annotations" / f"instances_{split}.json").write_text(
+            _json.dumps(coco)
+        )
+
+    config = Config(
+        destr=DestrConfig(
+            hidden_dim=32, num_heads=4, num_encoder_blocks=1, num_decoder_blocks=1,
+            top_k=4, ffn_dim=64, dropout=0.0,
+        ),
+        train=TrainConfig(
+            batch_size=2, image_size=64, epochs=1, lr=1e-3, lr_backbone=0.0,
+            checkpoint_dir=str(tmp_path / "ckpt"), log_dir=str(tmp_path / "runs"),
+            log_interval=1,
+        ),
+        data=DataConfig(
+            dataset="coco", root=str(tmp_path), image_size=64,
+            augment_factor=1, max_targets=8,
+        ),
+    )
+    result = train_destr(config)
+    assert np.isfinite(result["best_val"])
