@@ -160,79 +160,87 @@ def train_destr(config: Config, mesh=None) -> dict:
 
     last_map = 0.0
     timer = StepTimer(cfg_t.batch_size)
+    host_step = int(jax.device_get(state.step))  # one sync; counted on host after
     try:
-      for epoch in range(cfg_t.epochs):
-        t0 = time.time()
-        # ---- train ----
-        metrics = None
-        timer.start()
-        for step_in_epoch, raw in enumerate(train_loader):
-            if cfg_t.profile_dir and epoch == 0 and step_in_epoch == 2:
-                jax.profiler.start_trace(cfg_t.profile_dir)
-            step_key = jax.random.fold_in(aug_rng, int(state.step))
-            batch = _device_batch(raw, train_tf, mesh, step_key)
-            state, metrics = train_step(state, batch)
-            timer.step()
-            if cfg_t.profile_dir and epoch == 0 and step_in_epoch == 4:
-                jax.block_until_ready(metrics)
-                jax.profiler.stop_trace()
-            logger.accumulate(int(state.step), metrics)
-            if (step_in_epoch + 1) % cfg_t.log_interval == 0:
-                logger.flush("train")
-        logger.flush("train")
-        if metrics is not None:
-            rate = timer.stop(metrics["loss"])
-            logger.scalar("Perf/images_per_sec", rate["images_per_sec"], int(state.step))
+        for epoch in range(cfg_t.epochs):
+            t0 = time.time()
+            # ---- train ----
+            metrics = None
+            timer.start()
+            for step_in_epoch, raw in enumerate(train_loader):
+                if cfg_t.profile_dir and epoch == 0 and step_in_epoch == 2:
+                    jax.profiler.start_trace(cfg_t.profile_dir)
+                # host-side step counter: int(state.step) would force a
+                # device sync (a full tunnel RTT) every iteration
+                step_key = jax.random.fold_in(aug_rng, host_step)
+                batch = _device_batch(raw, train_tf, mesh, step_key)
+                state, metrics = train_step(state, batch)
+                host_step += 1
+                timer.step()
+                if cfg_t.profile_dir and epoch == 0 and step_in_epoch == 4:
+                    jax.block_until_ready(metrics)
+                    jax.profiler.stop_trace()
+                logger.accumulate(host_step, metrics)
+                if (step_in_epoch + 1) % cfg_t.log_interval == 0:
+                    logger.flush("train")
+            logger.flush("train")
+            if metrics is not None:
+                rate = timer.stop(metrics["loss"])
+                logger.scalar("Perf/images_per_sec", rate["images_per_sec"], host_step)
 
-        # ---- validate ----
-        metric_state = metric.init_state()
-        if coco_metric is not None:
-            coco_metric.reset()
-        val_metrics: list = []
-        for raw in valid_loader:
-            batch = _device_batch(raw, eval_tf, mesh)
-            outputs, m = eval_step(state, batch)
-            val_targets = {
-                "boxes": batch["boxes"], "labels": batch["labels"], "valid": batch["valid"]
-            }
-            metric_state = metric.update(metric_state, outputs, val_targets)
+            # ---- validate ----
+            metric_state = metric.init_state()
             if coco_metric is not None:
-                coco_metric.update(outputs, val_targets)
-            val_metrics.append(m)
-        fetched = jax.device_get(val_metrics)
-        val_means = {
-            k: float(np.mean([f[k] for f in fetched])) for k in fetched[0]
-        } if fetched else {}
-        last_map = metric.compute(metric_state)
-        for k, v in val_means.items():
-            logger.scalar(f"Loss/valid/{k}", v, int(state.step))
-        logger.scalar("Metric/mAP", last_map, int(state.step))
-        if coco_metric is not None:
-            logger.scalar("Metric/coco_mAP", coco_metric.compute(), int(state.step))
+                coco_metric.reset()
+            val_metrics: list = []
+            for raw in valid_loader:
+                batch = _device_batch(raw, eval_tf, mesh)
+                outputs, m = eval_step(state, batch)
+                val_targets = {
+                    "boxes": batch["boxes"],
+                    "labels": batch["labels"],
+                    "valid": batch["valid"],
+                }
+                metric_state = metric.update(metric_state, outputs, val_targets)
+                if coco_metric is not None:
+                    coco_metric.update(outputs, val_targets)
+                val_metrics.append(m)
+            fetched = jax.device_get(val_metrics)
+            val_means = (
+                {k: float(np.mean([f[k] for f in fetched])) for k in fetched[0]}
+                if fetched
+                else {}
+            )
+            last_map = metric.compute(metric_state)
+            for k, v in val_means.items():
+                logger.scalar(f"Loss/valid/{k}", v, host_step)
+            logger.scalar("Metric/mAP", last_map, host_step)
+            if coco_metric is not None:
+                logger.scalar("Metric/coco_mAP", coco_metric.compute(), host_step)
 
-        # ---- best checkpoint on lowest model val loss (train.py:123-128) ----
-        val_model = val_means.get("loss_model", np.inf)
-        if val_model < best_val:
-            best_val = val_model
+            # ---- best checkpoint on lowest model val loss (train.py:123-128)
+            val_model = val_means.get("loss_model", np.inf)
+            if val_model < best_val:
+                best_val = val_model
+                save_checkpoint(
+                    cfg_t.checkpoint_dir,
+                    cfg_t.save_as,
+                    state,
+                    train_loader.state_dict(),
+                    best_val,
+                )
             save_checkpoint(
                 cfg_t.checkpoint_dir,
-                cfg_t.save_as,
+                cfg_t.save_as + "_last",
                 state,
                 train_loader.state_dict(),
                 best_val,
             )
-        save_checkpoint(
-            cfg_t.checkpoint_dir,
-            cfg_t.save_as + "_last",
-            state,
-            train_loader.state_dict(),
-            best_val,
-        )
-        print(
-            f"epoch {epoch}: {time.time() - t0:.1f}s val_model={val_model:.4f} "
-            f"mAP={last_map:.4f}",
-            flush=True,
-        )
+            print(
+                f"epoch {epoch}: {time.time() - t0:.1f}s val_model={val_model:.4f} "
+                f"mAP={last_map:.4f}",
+                flush=True,
+            )
     except KeyboardInterrupt:
         # crash/preemption recovery (SURVEY.md §5): persist a resumable
         # checkpoint before exiting — the reference loses the epoch
@@ -276,57 +284,65 @@ def train_ssd(config: Config, mesh=None) -> dict:
     )
     eval_tf = lambda im, bx, lb, vd: ssd_eval_transform(im, bx, lb, vd, out_size=out_size)
 
+    host_step = int(jax.device_get(state.step))
     try:
-      for epoch in range(cfg_t.epochs):
-        t0 = time.time()
-        for step_in_epoch, raw in enumerate(train_loader):
-            step_key = jax.random.fold_in(aug_rng, int(state.step))
-            batch = _device_batch(raw, train_tf, mesh, step_key)
-            state, metrics = train_step(state, batch)
-            logger.accumulate(int(state.step), metrics)
-            if (step_in_epoch + 1) % cfg_t.log_interval == 0:
-                logger.flush("train")
-        logger.flush("train")
+        for epoch in range(cfg_t.epochs):
+            t0 = time.time()
+            for step_in_epoch, raw in enumerate(train_loader):
+                step_key = jax.random.fold_in(aug_rng, host_step)
+                batch = _device_batch(raw, train_tf, mesh, step_key)
+                state, metrics = train_step(state, batch)
+                host_step += 1
+                logger.accumulate(host_step, metrics)
+                if (step_in_epoch + 1) % cfg_t.log_interval == 0:
+                    logger.flush("train")
+            logger.flush("train")
 
-        val_metrics = []
-        metric_state = metric.init_state()
-        for raw in valid_loader:
-            batch = _device_batch(raw, eval_tf, mesh)
-            _, m, detections = eval_step(state, batch)
-            # SSD targets are cxcyhw; the metric compares in xyxy
-            from ..geometry.boxes import cxcyhw_to_xyxy
+            val_metrics = []
+            metric_state = metric.init_state()
+            for raw in valid_loader:
+                batch = _device_batch(raw, eval_tf, mesh)
+                _, m, detections = eval_step(state, batch)
+                # SSD targets are cxcyhw; the metric compares in xyxy
+                from ..geometry.boxes import cxcyhw_to_xyxy
 
-            metric_state = metric.update(
-                metric_state,
-                detections,
-                {
-                    "boxes": cxcyhw_to_xyxy(batch["boxes"]),
-                    "labels": batch["labels"],
-                    "valid": batch["valid"],
-                },
+                metric_state = metric.update(
+                    metric_state,
+                    detections,
+                    {
+                        "boxes": cxcyhw_to_xyxy(batch["boxes"]),
+                        "labels": batch["labels"],
+                        "valid": batch["valid"],
+                    },
+                )
+                val_metrics.append(m)
+            fetched = jax.device_get(val_metrics)
+            val_means = (
+                {k: float(np.mean([f[k] for f in fetched])) for k in fetched[0]}
+                if fetched
+                else {}
             )
-            val_metrics.append(m)
-        fetched = jax.device_get(val_metrics)
-        val_means = {
-            k: float(np.mean([f[k] for f in fetched])) for k in fetched[0]
-        } if fetched else {}
-        val_map = metric.compute(metric_state)
-        for k, v in val_means.items():
-            logger.scalar(f"Loss/valid/{k}", v, int(state.step))
-        logger.scalar("Metric/mAP", val_map, int(state.step))
+            val_map = metric.compute(metric_state)
+            for k, v in val_means.items():
+                logger.scalar(f"Loss/valid/{k}", v, host_step)
+            logger.scalar("Metric/mAP", val_map, host_step)
 
-        val_loss = val_means.get("loss", np.inf)
-        if val_loss < best_val:
-            best_val = val_loss
+            val_loss = val_means.get("loss", np.inf)
+            if val_loss < best_val:
+                best_val = val_loss
+                save_checkpoint(
+                    cfg_t.checkpoint_dir, cfg_t.save_as, state,
+                    train_loader.state_dict(), best_val,
+                )
             save_checkpoint(
-                cfg_t.checkpoint_dir, cfg_t.save_as, state,
+                cfg_t.checkpoint_dir, cfg_t.save_as + "_last", state,
                 train_loader.state_dict(), best_val,
             )
-        save_checkpoint(
-            cfg_t.checkpoint_dir, cfg_t.save_as + "_last", state,
-            train_loader.state_dict(), best_val,
-        )
-        print(f"epoch {epoch}: {time.time() - t0:.1f}s val={val_loss:.4f} mAP={val_map:.4f}", flush=True)
+            print(
+                f"epoch {epoch}: {time.time() - t0:.1f}s val={val_loss:.4f} "
+                f"mAP={val_map:.4f}",
+                flush=True,
+            )
     except KeyboardInterrupt:
         save_checkpoint(
             cfg_t.checkpoint_dir, cfg_t.save_as + "_interrupt", state,
