@@ -45,8 +45,8 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
     """One (head, q-tile) program: full-K attention for a bq-row stripe.
 
     Shapes (VMEM):
-        q_ref: (1, bq, d), k_ref/v_ref: (1, Sk, d), mask_ref: (1, Sk) int32,
-        o_ref: (1, bq, d).
+        q_ref: (1, bq, d), k_ref/v_ref: (1, Sk, d),
+        mask_ref: (1, 1, Sk) int32, o_ref: (1, bq, d).
     """
     q = q_ref[0].astype(jnp.float32)  # (bq, d)
     k = k_ref[0].astype(jnp.float32)  # (Sk, d)
