@@ -222,9 +222,8 @@ class CocoDetection:
     def __len__(self) -> int:
         return len(self.samples)
 
-    def __getitem__(self, idx: int):
+    def _annotations(self, idx: int):
         path, w, h, anns = self.samples[idx]
-        image = _load_image(path)
         boxes, labels = [], []
         for a in anns:
             x, y, bw, bh = a["bbox"]
@@ -233,10 +232,25 @@ class CocoDetection:
             boxes.append([x / w, y / h, (x + bw) / w, (y + bh) / h])
             labels.append(self.cat_to_idx[a["category_id"]])
         return (
-            image,
             np.clip(np.asarray(boxes, np.float32).reshape(-1, 4), 0.0, 1.0),
             np.asarray(labels, np.int32),
         )
+
+    def __getitem__(self, idx: int):
+        boxes, labels = self._annotations(idx)
+        return _load_image(self.samples[idx][0]), boxes, labels
+
+    def raw_item(self, idx: int):
+        """(jpeg_bytes, boxes, labels) — enables the loader's native fused
+        decode+resize path (runtime/cc/jpeg_decode.cc); box normalization
+        uses the dims recorded in the instances JSON, so no decode is needed
+        on the Python side."""
+        path, _, _, _ = self.samples[idx]
+        if not path.lower().endswith((".jpg", ".jpeg")):
+            raise AttributeError("raw_item supports JPEG files only")
+        boxes, labels = self._annotations(idx)
+        with open(path, "rb") as f:
+            return f.read(), boxes, labels
 
 
 def build_dataset(

@@ -15,10 +15,11 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-__all__ = ["batch_resize", "is_available", "load_library"]
+__all__ = ["batch_resize", "batch_decode_resize", "is_available", "load_library"]
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "cc", "batch_resize.cc")
+_SRC_JPEG = os.path.join(_HERE, "cc", "jpeg_decode.cc")
 _BUILD_DIR = os.path.join(_HERE, "_build")
 _LIB_PATH = os.path.join(_BUILD_DIR, "libodtr_runtime.so")
 
@@ -31,7 +32,7 @@ def _build() -> None:
     os.makedirs(_BUILD_DIR, exist_ok=True)
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17", "-pthread",
-        _SRC, "-o", _LIB_PATH + ".tmp",
+        _SRC, _SRC_JPEG, "-o", _LIB_PATH + ".tmp", "-ljpeg",
     ]
     subprocess.run(cmd, check=True, capture_output=True)
     os.replace(_LIB_PATH + ".tmp", _LIB_PATH)
@@ -45,10 +46,8 @@ def load_library() -> Optional[ctypes.CDLL]:
         if _lib is not None or _load_failed:
             return _lib
         try:
-            if (
-                not os.path.exists(_LIB_PATH)
-                or os.path.getmtime(_LIB_PATH) < os.path.getmtime(_SRC)
-            ):
+            src_mtime = max(os.path.getmtime(_SRC), os.path.getmtime(_SRC_JPEG))
+            if not os.path.exists(_LIB_PATH) or os.path.getmtime(_LIB_PATH) < src_mtime:
                 _build()
             lib = ctypes.CDLL(_LIB_PATH)
             lib.odtr_runtime_abi_version.restype = ctypes.c_int32
@@ -64,6 +63,16 @@ def load_library() -> Optional[ctypes.CDLL]:
                 ctypes.c_int32,
             ]
             lib.odtr_batch_resize.restype = None
+            lib.odtr_batch_decode_resize.argtypes = [
+                ctypes.POINTER(ctypes.c_void_p),
+                ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_int32,
+                ctypes.c_void_p,
+                ctypes.c_int32,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_int32),
+            ]
+            lib.odtr_batch_decode_resize.restype = None
             _lib = lib
         except Exception:
             _load_failed = True
@@ -108,4 +117,43 @@ def batch_resize(
         ch,
         num_threads,
     )
+    return out
+
+
+def batch_decode_resize(
+    jpeg_blobs: Sequence[bytes],
+    canvas: int,
+    out: Optional[np.ndarray] = None,
+    num_threads: int = 0,
+) -> np.ndarray:
+    """Decode a list of JPEG byte blobs and resize onto one
+    (N, canvas, canvas, 3) uint8 batch — fused, threaded, with libjpeg's
+    DCT-domain downscale when the source is much larger than the canvas.
+
+    Raises ValueError naming the first image whose decode failed.
+    """
+    lib = load_library()
+    if lib is None:
+        raise RuntimeError("native runtime library unavailable")
+    n = len(jpeg_blobs)
+    if out is None:
+        out = np.empty((n, canvas, canvas, 3), np.uint8)
+    bufs = [np.frombuffer(b, np.uint8) for b in jpeg_blobs]
+    ptrs = (ctypes.c_void_p * n)(
+        *[buf.ctypes.data_as(ctypes.c_void_p).value for buf in bufs]
+    )
+    lens = (ctypes.c_int64 * n)(*[len(b) for b in jpeg_blobs])
+    status = (ctypes.c_int32 * n)()
+    lib.odtr_batch_decode_resize(
+        ctypes.cast(ptrs, ctypes.POINTER(ctypes.c_void_p)),
+        lens,
+        n,
+        out.ctypes.data_as(ctypes.c_void_p),
+        canvas,
+        num_threads,
+        status,
+    )
+    bad = [i for i in range(n) if status[i] != 0]
+    if bad:
+        raise ValueError(f"JPEG decode failed for image index {bad[0]} (of {len(bad)} failures)")
     return out
