@@ -51,6 +51,21 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--backbone", type=str, default="resnet50",
                    choices=["resnet50", "resnet101"])
     p.add_argument("--image_size", type=int, default=None)
+    # model-shape flags (must match the later train run so the checkpoint's
+    # state template lines up at --resume time); defaults mirror the train CLI
+    p.add_argument("--hidden_dim", type=int, default=256)
+    p.add_argument("--num_heads", type=int, default=8)
+    p.add_argument("--ffn_dim", type=int, default=2048)
+    p.add_argument("--num_encoder_blocks", type=int, default=6)
+    p.add_argument("--num_decoder_blocks", type=int, default=6)
+    p.add_argument("--top_k", type=int, default=300)
+    p.add_argument("--num_cls", type=int, default=None,
+                   help="defaults: 2 for destr, 20 for ssd")
+    p.add_argument("--dilation", action="store_true")
+    # lr_backbone==0 vs >0 changes the optimizer-state structure
+    # (train/optim.py builds set_to_zero vs adamw for the backbone group)
+    p.add_argument("--lr", type=float, default=1e-5)
+    p.add_argument("--lr_backbone", type=float, default=1e-4)
     return p
 
 
@@ -61,20 +76,31 @@ def main(argv=None) -> str:
 
     args = get_parser().parse_args(argv)
     sd = _load_state_dict(args.weights)
+    train_cfg = TrainConfig(lr=args.lr, lr_backbone=args.lr_backbone)
 
     if args.model == "destr":
-        cfg = DestrConfig(backbone=args.backbone)
+        cfg = DestrConfig(
+            backbone=args.backbone,
+            dilation=args.dilation,
+            hidden_dim=args.hidden_dim,
+            num_heads=args.num_heads,
+            ffn_dim=args.ffn_dim,
+            num_encoder_blocks=args.num_encoder_blocks,
+            num_decoder_blocks=args.num_decoder_blocks,
+            top_k=args.top_k,
+            num_cls=args.num_cls or 2,
+        )
         model = build_destr(cfg)
         state, _ = create_destr_state(
-            model, TrainConfig(), image_size=args.image_size or 640
+            model, train_cfg, image_size=args.image_size or 640
         )
         stage_sizes = (3, 4, 6, 3) if args.backbone == "resnet50" else (3, 4, 23, 3)
         backbone = resnet_params_from_torch(sd, stage_sizes)
     else:
-        cfg = SSDConfig()
+        cfg = SSDConfig(num_cls=args.num_cls or 20)
         model = build_ssd(cfg)
         state, _ = create_ssd_state(
-            model, TrainConfig(), image_size=args.image_size or cfg.image_size
+            model, train_cfg, image_size=args.image_size or cfg.image_size
         )
         backbone = vgg16_params_from_torch(sd)
 
