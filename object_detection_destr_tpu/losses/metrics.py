@@ -35,19 +35,23 @@ from ..geometry.boxes import cxcyhw_to_xyxy, pairwise_iou
 __all__ = ["MeanAveragePrecision", "CocoAveragePrecision"]
 
 
-@partial(jax.jit, static_argnames=("threshold", "num_pred", "cls",))
 def _update_one_class(
     tp: jnp.ndarray,
     fp: jnp.ndarray,
     num_gts: jnp.ndarray,
+    cls: jnp.ndarray,
     outputs: Mapping[str, jnp.ndarray],
     targets: Mapping[str, jnp.ndarray],
     *,
     threshold: float,
     num_pred: int,
-    cls: int,
 ):
-    """Accumulate TP/FP rank histograms for one class over a batch."""
+    """Accumulate TP/FP rank histograms for one (traced) class over a batch.
+
+    ``cls`` is a traced scalar so the update vmaps over the class axis and
+    compiles ONCE regardless of ``num_cls`` — a static class id compiled 20
+    separate XLA programs for VOC, each minutes through the TPU tunnel.
+    """
     logits = jnp.asarray(outputs["pred_class"], jnp.float32)  # (B, N, C)
     pred_xyxy = cxcyhw_to_xyxy(jnp.asarray(outputs["pred_boxes"], jnp.float32))
     gt_xyxy = jnp.asarray(targets["boxes"], jnp.float32)  # (B, T, 4)
@@ -55,7 +59,9 @@ def _update_one_class(
 
     probs = jax.nn.softmax(logits, axis=-1)
     pred_is_cls = jnp.argmax(probs, axis=-1) == cls  # (B, N)
-    cls_prob = probs[..., cls]
+    cls_prob = jnp.take_along_axis(
+        probs, jnp.broadcast_to(cls, probs.shape[:-1])[..., None], axis=-1
+    )[..., 0]
 
     # sort class predictions by probability; unselected sink to the bottom
     sort_key = jnp.where(pred_is_cls, cls_prob, -jnp.inf)
@@ -93,6 +99,16 @@ def _update_one_class(
     return tp, fp, num_gts
 
 
+@partial(jax.jit, static_argnames=("threshold", "num_pred"))
+def _update_all_classes(tp, fp, num_gts, outputs, targets, *, threshold, num_pred):
+    """One compiled program for all classes: vmap of the per-class update."""
+    classes = jnp.arange(tp.shape[0], dtype=jnp.int32)
+    fn = partial(_update_one_class, threshold=threshold, num_pred=num_pred)
+    return jax.vmap(fn, in_axes=(0, 0, 0, 0, None, None))(
+        tp, fp, num_gts, classes, outputs, targets
+    )
+
+
 class MeanAveragePrecision:
     """Functional mAP accumulator (state in, state out).
 
@@ -119,27 +135,16 @@ class MeanAveragePrecision:
         }
 
     def update(self, state: dict, outputs: Mapping, targets: Mapping) -> dict:
-        tp, fp, num_gts = state["tp"], state["fp"], state["num_gts"]
-        new_tp, new_fp, new_gts = [], [], []
-        for cls in range(self.num_cls):
-            t, f, g = _update_one_class(
-                tp[cls],
-                fp[cls],
-                num_gts[cls],
-                outputs,
-                targets,
-                threshold=self.threshold,
-                num_pred=self.num_pred,
-                cls=cls,
-            )
-            new_tp.append(t)
-            new_fp.append(f)
-            new_gts.append(g)
-        return {
-            "tp": jnp.stack(new_tp),
-            "fp": jnp.stack(new_fp),
-            "num_gts": jnp.stack(new_gts),
-        }
+        tp, fp, num_gts = _update_all_classes(
+            state["tp"],
+            state["fp"],
+            state["num_gts"],
+            outputs,
+            targets,
+            threshold=self.threshold,
+            num_pred=self.num_pred,
+        )
+        return {"tp": tp, "fp": fp, "num_gts": num_gts}
 
     def compute(self, state: dict) -> float:
         """11-point interpolated AP, averaged over classes (criterion.py:105-125)."""
