@@ -34,7 +34,8 @@ from flax import linen as nn
 
 from ...geometry.embeddings import inverse_sigmoid, sine_embed_centers
 from ...ops.attention import combine_heads, scaled_dot_product_attention, split_heads
-from .layers import Mlp
+from ...ops.pallas.flash_attention import flash_attention_trainable
+from .layers import Mlp, attention_dropout_seed
 from .pair_attention import pair_self_attention
 
 __all__ = ["Decoder", "DecoderBlock", "ClsRegBranch"]
@@ -45,6 +46,7 @@ class ClsRegBranch(nn.Module):
 
     hidden_dim: int = 256
     dropout: float = 0.3
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -61,12 +63,23 @@ class ClsRegBranch(nn.Module):
         # single head: scale is 1/sqrt(2C) (self_attention.py:26 on the
         # concat dim; the reference calls SelfAttention(heads_num=1) with
         # unsqueezed head axes, decoder_block.py:246-251)
-        ca = scaled_dot_product_attention(
-            query[:, None], key[:, None], value[:, None],
-            key_valid_mask=key_valid_mask,
-            dropout_rate=self.dropout,
-            dropout_rng=self.make_rng("dropout") if not deterministic else None,
-        )
+        if self.use_flash:
+            # fused Pallas path: d_qk = 2C, d_v = C (kernel supports dv != d);
+            # the long axis here is S_k = HW (up to 7056 dilated), exactly
+            # where streaming K/V tiles beats the materialized logits matrix
+            rate, seed = attention_dropout_seed(self, self.dropout, deterministic)
+            ca4 = flash_attention_trainable(
+                query[:, None], key[:, None], value[:, None],
+                key_valid_mask, seed, rate,
+            )
+            ca = ca4[:, 0]
+        else:
+            ca = scaled_dot_product_attention(
+                query[:, None], key[:, None], value[:, None],
+                key_valid_mask=key_valid_mask,
+                dropout_rate=self.dropout,
+                dropout_rng=self.make_rng("dropout") if not deterministic else None,
+            )
         x = inputs + drop(ca)
         x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x)
         h = drop(nn.relu(nn.Dense(self.hidden_dim * 4, dtype=self.dtype, name="fc1")(x)))
@@ -82,6 +95,7 @@ class DecoderBlock(nn.Module):
     lambda_pair: float = 0.5
     pair_mode: str = "reference"
     pair_output_mode: str = "reference"
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -144,12 +158,12 @@ class DecoderBlock(nn.Module):
             jnp.concatenate([split_heads(k_enc, h2), split_heads(k_pos, h2)], axis=-1)
         )
 
-        cls_out = ClsRegBranch(c, self.dropout, dtype=self.dtype, name="cls_branch")(
-            o_cls, q_cls, k, v2, enc_valid_mask, deterministic
-        )
-        reg_out = ClsRegBranch(c, self.dropout, dtype=self.dtype, name="reg_branch")(
-            o_reg, q_reg, k, v2, enc_valid_mask, deterministic
-        )
+        cls_out = ClsRegBranch(
+            c, self.dropout, self.use_flash, dtype=self.dtype, name="cls_branch"
+        )(o_cls, q_cls, k, v2, enc_valid_mask, deterministic)
+        reg_out = ClsRegBranch(
+            c, self.dropout, self.use_flash, dtype=self.dtype, name="reg_branch"
+        )(o_reg, q_reg, k, v2, enc_valid_mask, deterministic)
         return jnp.concatenate([cls_out, reg_out], axis=-1)
 
 
@@ -167,6 +181,7 @@ class Decoder(nn.Module):
     lambda_pair: float = 0.5
     pair_mode: str = "reference"
     pair_output_mode: str = "reference"
+    use_flash: bool = False
     dtype: jnp.dtype = jnp.float32
     remat: bool = False
 
@@ -183,6 +198,7 @@ class Decoder(nn.Module):
                 self.lambda_pair,
                 self.pair_mode,
                 self.pair_output_mode,
+                self.use_flash,
                 self.dtype,
                 name=f"block{i}",
             )

@@ -4,13 +4,33 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.attention import scaled_dot_product_attention, split_heads
 from ...ops.pallas.flash_attention import flash_attention_trainable
 
-__all__ = ["Mlp", "MultiHeadAttention", "LearnedPositionEmbedding"]
+__all__ = [
+    "Mlp",
+    "MultiHeadAttention",
+    "LearnedPositionEmbedding",
+    "attention_dropout_seed",
+]
+
+
+def attention_dropout_seed(module: nn.Module, dropout: float, deterministic: bool):
+    """(rate, seed) for the flash kernel's in-kernel dropout.
+
+    Draws an int32 seed from the module's "dropout" rng stream when training
+    with dropout; otherwise (eval, or rate 0) returns rate 0 and no seed so
+    the kernel skips its PRNG path entirely.
+    """
+    if deterministic or dropout <= 0.0:
+        return 0.0, None
+    rng = module.make_rng("dropout")
+    seed = jax.random.randint(rng, (), 0, jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+    return dropout, seed
 
 
 class LearnedPositionEmbedding(nn.Module):
@@ -76,9 +96,9 @@ class MultiHeadAttention(nn.Module):
     num_heads: int
     dropout: float = 0.0
     dtype: jnp.dtype = jnp.float32
-    # fused Pallas attention path (ops/pallas/flash_attention.py). NOTE:
-    # the kernel has no attention-probability dropout; when enabled, the
-    # block's residual dropouts remain the only stochastic regularizers.
+    # fused Pallas attention path (ops/pallas/flash_attention.py), including
+    # in-kernel attention-probability dropout (seeded from the flax
+    # "dropout" rng stream, regenerated bit-identically in the backward)
     use_flash: bool = False
 
     @nn.compact
@@ -95,11 +115,14 @@ class MultiHeadAttention(nn.Module):
         k = nn.Dense(d, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(d, dtype=self.dtype, name="v_proj")(value)
         if self.use_flash:
+            rate, seed = attention_dropout_seed(self, self.dropout, deterministic)
             out4 = flash_attention_trainable(
                 split_heads(q, self.num_heads),
                 split_heads(k, self.num_heads),
                 split_heads(v, self.num_heads),
                 key_valid_mask,
+                seed,
+                rate,
             )
             b_, h_, s_, d_ = out4.shape
             out = out4.transpose(0, 2, 1, 3).reshape(b_, s_, h_ * d_)

@@ -83,6 +83,7 @@ class DESTR(nn.Module):
             lambda_pair=cfg.lambda_pair,
             pair_mode=cfg.pair_mode,
             pair_output_mode=cfg.pair_output_mode,
+            use_flash=cfg.use_flash_attention,
             dtype=dtype,
             remat=cfg.remat,
             name="decoder",

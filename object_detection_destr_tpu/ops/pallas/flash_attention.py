@@ -1,20 +1,35 @@
-"""Masked multi-head attention as a Pallas TPU kernel.
+"""Masked multi-head flash attention as a Pallas TPU kernel.
 
-TPU-native replacement for the reference encoder's ``nn.MultiheadAttention``
-over HW image tokens (encoder_block.py:57-63). Sequence lengths here are
-short (400 tokens at 640px, ~1050 at 1333px), so the kernel streams q in
-MXU-aligned tiles while keeping each head's full K/V resident in VMEM — the
-(S_q, S_k) logits matrix only ever exists one tile at a time in VMEM and is
-fused with the softmax and the PV matmul (never written to HBM, which is
-the HBM-bandwidth win over a naive composition).
+TPU-native replacement for the reference's attention ops:
 
-Numerically: logits and softmax accumulate in f32 regardless of input dtype
-(MXU ``preferred_element_type``); padded key positions get -1e9 before the
-softmax like ops/attention.py:81.
+* the encoder's ``nn.MultiheadAttention`` over HW image tokens
+  (encoder_block.py:57-63), and
+* the decoder's single-head concat-QK cross attention
+  (decoder_block.py:223-260), which has d_qk = 2C (512) but d_v = C (256).
 
-The wrapper pads S_q/S_k up to tile multiples and trims afterwards, so any
-shape works. On non-TPU backends the kernel runs in interpreter mode (slow,
-tests only).
+The kernel streams K/V in lane-aligned tiles with the classic running
+max/denominator recurrence, so VMEM use is bounded by the tile sizes — not by
+the sequence length — and the (S_q, S_k) logits matrix never exists in HBM.
+That matters for the dilated-1333px config (7056 tokens) and for the
+cross-attention's 512-wide keys, both of which overflow a KV-resident design
+(~16 MB VMEM/core).
+
+Numerically: logits/softmax accumulate in f32 (MXU ``preferred_element_type``);
+the PV matmul runs in the value dtype, matching ops/attention.py:93-96. Padded
+key positions get -1e9 before the softmax like ops/attention.py:88.
+
+Attention-probability dropout (the reference trains with p=0.3,
+encoder_block.py:57-63) is supported inside the kernel: on TPU the mask is
+drawn from the on-core PRNG seeded per (batch*head, q-tile, k-tile) program,
+so the backward pass regenerates bit-identical masks without storing them; in
+interpret mode (CPU tests) the TPU PRNG is unavailable, so an equivalent mask
+is materialized host-side from the same seed and fed as an input — same math,
+different bit-source. ``dropout_keep_mask`` exposes the interpret-mode mask so
+tests can reproduce expected values exactly.
+
+The forward also emits the per-row logsumexp; the backward recomputes
+probabilities per tile from it (no (S_q, S_k) residuals in HBM) with two
+kernels: dQ accumulated over k-tiles, dK/dV accumulated over q-tiles.
 """
 
 from __future__ import annotations
@@ -27,261 +42,472 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "flash_attention_trainable"]
+__all__ = ["flash_attention", "flash_attention_trainable", "dropout_keep_mask"]
 
 NEG_INF = -1e9
+LANES = 128  # per-row stats are broadcast across one lane register
 
 
-def _pick_block_q(block_q: int, sq: int, sk_pad: int) -> int:
-    """Cap the q-tile so the kernel's (bq, Sk) f32 working tiles (logits/P in
-    the forward; P/dP/dS in the backward) stay within a few MB of VMEM at
-    long key lengths (7k tokens at dilated 1333px)."""
-    budget = 2_000_000  # bytes per (bq, Sk) f32 tile
-    cap = max(16, (budget // (sk_pad * 4)) // 8 * 8)
-    return min(block_q, cap, max(8, sq))
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
 
 
-def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, scale: float):
-    """One (head, q-tile) program: full-K attention for a bq-row stripe.
+def _plan(sq: int, sk: int, block_q: int, block_k: int):
+    """Tile sizes + padded lengths. bq is sublane-aligned (8), bk lane-aligned
+    (128); both clip to the (padded) sequence so short shapes stay one tile."""
+    bq = min(block_q, _round_up(sq, 8))
+    bk = min(block_k, _round_up(sk, 128))
+    return bq, bk, _round_up(sq, bq), _round_up(sk, bk)
 
-    Shapes (VMEM):
-        q_ref: (1, bq, d), k_ref/v_ref: (1, Sk, d),
-        mask_ref: (1, 1, Sk) int32, o_ref: (1, bq, d).
+
+def _drop_threshold(rate: float) -> jnp.ndarray:
+    # keep iff bits >= threshold; P(drop) = threshold / 2^32
+    t = min(max(int(rate * 4294967296.0), 0), 4294967295)
+    return jnp.uint32(t)
+
+
+def _prng_keep(seed_ref, bh, iq, jk, shape, rate: float) -> jnp.ndarray:
+    """Per-tile keep mask from the on-core PRNG. Seeding is a pure function of
+    (seed, program coordinates), so forward and both backward kernels draw the
+    identical mask for a tile regardless of their own grid orders."""
+    pltpu.prng_seed(seed_ref[0], bh, iq, jk)
+    bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
+    return bits >= _drop_threshold(rate)
+
+
+def dropout_keep_mask(seed, bh: int, sq_pad: int, sk_pad: int, rate: float):
+    """Interpret-mode keep mask (int32 0/1), shape (bh, sq_pad, sk_pad).
+
+    Deterministic in ``seed``; regenerated identically by the backward pass.
+    Exposed so tests can compute exact expected values.
     """
-    q = q_ref[0].astype(jnp.float32)  # (bq, d)
-    k = k_ref[0].astype(jnp.float32)  # (Sk, d)
-    v = v_ref[0].astype(jnp.float32)
+    keep = jax.random.bernoulli(
+        jax.random.PRNGKey(seed), 1.0 - rate, (bh, sq_pad, sk_pad)
+    )
+    return keep.astype(jnp.int32)
 
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, Sk)
-    valid = mask_ref[0, 0, :] > 0  # (Sk,)
-    logits = jnp.where(valid[None, :], logits, NEG_INF)
 
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    denom = jnp.sum(p, axis=-1, keepdims=True)
-    o = jax.lax.dot_general(
-        p, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) / denom
-    o_ref[0] = o.astype(o_ref.dtype)
+def _tile_keep(drop_mode, seed_or_mask_ref, bh, iq, jk, shape, rate):
+    if drop_mode == "prng":
+        return _prng_keep(seed_or_mask_ref, bh, iq, jk, shape, rate)
+    return seed_or_mask_ref[0] > 0  # materialized (1, bq, bk) block
+
+
+# ---------------------------------------------------------------------------
+# forward
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(
+    *refs, scale: float, rate: float, drop_mode: str, n_k: int
+):
+    if drop_mode == "none":
+        q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, acc, m_scr, l_scr = refs
+        drop_ref = None
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, drop_ref, o_ref, lse_ref,
+         acc, m_scr, l_scr) = refs
+    bh, iq, jk = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(jk == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc[...] = jnp.zeros_like(acc)
+
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # (bq, bk) f32
+    valid = mask_ref[0, 0, :] > 0
+    s = jnp.where(valid[None, :], s, NEG_INF)
+
+    m_prev = m_scr[:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)
+    l_new = l_scr[:, 0:1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+
+    if rate > 0.0:
+        keep = _tile_keep(drop_mode, drop_ref, bh, iq, jk, p.shape, rate)
+        p_acc = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        p_acc = p
+    pv = jax.lax.dot_general(
+        p_acc.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    acc[...] = acc[...] * alpha + pv
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(jk == n_k - 1)
+    def _():
+        o_ref[0] = (acc[...] / l_scr[:, 0:1]).astype(o_ref.dtype)
+        lse_ref[0] = jnp.broadcast_to(
+            m_scr[:, 0:1] + jnp.log(l_scr[:, 0:1]), lse_ref[0].shape
+        )
+
+
+def _prep_inputs(query, key, value, key_valid_mask, bq, bk, sq_pad, sk_pad):
+    b, h, sq, d = query.shape
+    sk, dv = key.shape[2], value.shape[-1]
+    qf = jnp.pad(query, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0))).reshape(
+        b * h, sq_pad, d
+    )
+    kf = jnp.pad(key, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0))).reshape(
+        b * h, sk_pad, d
+    )
+    vf = jnp.pad(value, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0))).reshape(
+        b * h, sk_pad, dv
+    )
+    if key_valid_mask is None:
+        key_valid_mask = jnp.ones((b, sk), bool)
+    mask = jnp.pad(key_valid_mask.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)))
+    mask_bh = jnp.repeat(mask, h, axis=0)[:, None, :]  # (bh, 1, sk_pad)
+    return qf, kf, vf, mask_bh
+
+
+def _drop_operand(drop_mode, dropout_seed, bh, sq_pad, sk_pad, rate):
+    """The extra kernel input carrying dropout state, or None."""
+    if drop_mode == "prng":
+        return jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+    if drop_mode == "mask":
+        return dropout_keep_mask(dropout_seed, bh, sq_pad, sk_pad, rate)
+    return None
+
+
+def _drop_spec(drop_mode, bq, bk, index_map):
+    if drop_mode == "prng":
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.BlockSpec((1, bq, bk), index_map, memory_space=pltpu.VMEM)
+
+
+def _resolve(dropout_rate, dropout_seed, interpret):
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    if dropout_rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires a dropout_seed")
+    if dropout_rate > 0.0:
+        # the TPU PRNG is unavailable under the CPU interpreter — fall back to
+        # a host-materialized mask drawn from the same seed (identical math)
+        drop_mode = "mask" if interpret else "prng"
+    else:
+        drop_mode = "none"
+    return drop_mode, interpret
+
+
+def _fwd_impl(
+    query, key, value, key_valid_mask, dropout_seed,
+    dropout_rate, scale, block_q, block_k, interpret,
+):
+    b, h, sq, d = query.shape
+    sk, dv = key.shape[2], value.shape[-1]
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    drop_mode, interpret = _resolve(dropout_rate, dropout_seed, interpret)
+
+    bq, bk, sq_pad, sk_pad = _plan(sq, sk, block_q, block_k)
+    n_q, n_k = sq_pad // bq, sk_pad // bk
+    qf, kf, vf, mask_bh = _prep_inputs(
+        query, key, value, key_valid_mask, bq, bk, sq_pad, sk_pad
+    )
+
+    in_specs = [
+        pl.BlockSpec((1, bq, d), lambda i, iq, jk: (i, iq, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, d), lambda i, iq, jk: (i, jk, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, bk, dv), lambda i, iq, jk: (i, jk, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk), lambda i, iq, jk: (i, 0, jk), memory_space=pltpu.VMEM),
+    ]
+    operands = [qf, kf, vf, mask_bh]
+    if drop_mode != "none":
+        in_specs.append(_drop_spec(drop_mode, bq, bk, lambda i, iq, jk: (i, iq, jk)))
+        operands.append(
+            _drop_operand(drop_mode, dropout_seed, b * h, sq_pad, sk_pad, dropout_rate)
+        )
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel, scale=scale, rate=dropout_rate, drop_mode=drop_mode, n_k=n_k
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sq_pad, dv), query.dtype),
+            jax.ShapeDtypeStruct((b * h, sq_pad, LANES), jnp.float32),
+        ),
+        grid=(b * h, n_q, n_k),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bq, dv), lambda i, iq, jk: (i, iq, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq, LANES), lambda i, iq, jk: (i, iq, 0), memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, dv), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+            pltpu.VMEM((bq, LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return out.reshape(b, h, sq_pad, dv)[:, :, :sq], lse
 
 
 @functools.partial(
-    jax.jit, static_argnames=("scale", "block_q", "interpret")
+    jax.jit, static_argnames=("dropout_rate", "scale", "block_q", "block_k", "interpret")
 )
 def flash_attention(
     query: jnp.ndarray,
     key: jnp.ndarray,
     value: jnp.ndarray,
     key_valid_mask: Optional[jnp.ndarray] = None,
+    dropout_seed: Optional[jnp.ndarray] = None,
+    dropout_rate: float = 0.0,
     *,
     scale: Optional[float] = None,
     block_q: int = 256,
+    block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Fused masked attention.
+    """Fused masked attention (forward only).
 
     Args:
-        query: (B, h, Sq, d); key/value: (B, h, Sk, d).
+        query: (B, h, Sq, d); key: (B, h, Sk, d); value: (B, h, Sk, dv) —
+            dv may differ from d (decoder cross attention: d=2C, dv=C).
         key_valid_mask: (B, Sk) bool, True = attendable.
+        dropout_seed: int32 scalar; required when dropout_rate > 0.
+        dropout_rate: attention-probability dropout (train only).
 
     Returns:
-        (B, h, Sq, d) in the query dtype.
+        (B, h, Sq, dv) in the query dtype.
     """
-    b, h, sq, d = query.shape
-    sk = key.shape[2]
-    if scale is None:
-        scale = 1.0 / (d**0.5)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-
-    sk_pad = -(-sk // 128) * 128  # lane-align Sk
-    bq = _pick_block_q(block_q, sq, sk_pad)
-    sq_pad = -(-sq // bq) * bq
-
-    qp = jnp.pad(query, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
-    kp = jnp.pad(key, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
-    vp = jnp.pad(value, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
-    if key_valid_mask is None:
-        key_valid_mask = jnp.ones((b, sk), bool)
-    mask = jnp.pad(key_valid_mask.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)))
-    # broadcast mask over heads; keep a singleton middle dim so the block
-    # shape (1, 1, Sk) matches the array dims (TPU tiling rule: each block
-    # dim must be 8/128-aligned or equal to the full array dim)
-    mask_bh = jnp.repeat(mask, h, axis=0)[:, None, :]
-
-    qf = qp.reshape(b * h, sq_pad, d)
-    kf = kp.reshape(b * h, sk_pad, d)
-    vf = vp.reshape(b * h, sk_pad, d)
-
-    grid = (b * h, sq_pad // bq)
-    out = pl.pallas_call(
-        functools.partial(_attn_kernel, scale=scale),
-        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), query.dtype),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, 1, sk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        interpret=interpret,
-    )(qf, kf, vf, mask_bh)
-    return out.reshape(b, h, sq_pad, d)[:, :, :sq]
+    out, _ = _fwd_impl(
+        query, key, value, key_valid_mask, dropout_seed,
+        dropout_rate, scale, block_q, block_k, interpret,
+    )
+    return out
 
 
-def _attn_bwd_kernel(
-    q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, dq_ref, dk_ref, dv_ref, *, scale: float
-):
-    """Backward for one (head, q-tile) program.
+# ---------------------------------------------------------------------------
+# backward
+# ---------------------------------------------------------------------------
 
-    Standard flash-attention backward with recomputed probabilities:
-        P  = softmax(scale * QK^T + mask)
-        D  = rowsum(dO * O)            (= rowsum(dP * P))
-        dP = dO @ V^T
-        dS = P * (dP - D)
-        dQ = scale * dS @ K
-        dK += scale * dS^T @ Q_tile    (accumulated across q tiles)
-        dV += P^T @ dO                 (accumulated across q tiles)
 
-    The TPU grid iterates q tiles sequentially, so dK/dV accumulate into the
-    same output block (zeroed on the first tile).
-    """
-    j = pl.program_id(1)
+def _dq_kernel(*refs, scale: float, rate: float, drop_mode: str, n_k: int):
+    if drop_mode == "none":
+        q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref, dq_ref, dq_acc = refs
+        drop_ref = None
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, drop_ref, do_ref, o_ref, lse_ref,
+         dq_ref, dq_acc) = refs
+    bh, iq, jk = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-    q = q_ref[0].astype(jnp.float32)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0].astype(jnp.float32)
+    @pl.when(jk == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
     do = do_ref[0].astype(jnp.float32)
-    o = o_ref[0].astype(jnp.float32)
-
-    logits = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) * scale
     valid = mask_ref[0, 0, :] > 0
-    logits = jnp.where(valid[None, :], logits, NEG_INF)
-    m = jnp.max(logits, axis=-1, keepdims=True)
-    e = jnp.exp(logits - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (bq, Sk)
+    s = jnp.where(valid[None, :], s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, :, 0:1])  # (bq, bk)
 
-    d_diag = jnp.sum(do * o, axis=-1, keepdims=True)  # (bq, 1)
     dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (bq, Sk)
-    ds = p * (dp - d_diag)
-
-    dq = jax.lax.dot_general(
-        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
-    dq_ref[0] = dq.astype(dq_ref.dtype)
-
-    dk_tile = jax.lax.dot_general(
-        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (Sk, d)
-    dv_tile = jax.lax.dot_general(
-        p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (Sk, d)
-
-    @pl.when(j == 0)
-    def _():
-        dk_ref[0] = jnp.zeros_like(dk_ref[0])
-        dv_ref[0] = jnp.zeros_like(dv_ref[0])
-
-    dk_ref[0] += dk_tile.astype(dk_ref.dtype)
-    dv_ref[0] += dv_tile.astype(dv_ref.dtype)
-
-
-def _flash_fwd(query, key, value, key_valid_mask, scale, block_q, interpret):
-    out = flash_attention(
-        query, key, value, key_valid_mask,
-        scale=scale, block_q=block_q, interpret=interpret,
+        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     )
-    return out, (query, key, value, key_valid_mask, out)
+    if rate > 0.0:
+        keep = _tile_keep(drop_mode, drop_ref, bh, iq, jk, p.shape, rate)
+        dp = jnp.where(keep, dp * (1.0 / (1.0 - rate)), 0.0)
+    d_diag = jnp.sum(do * o_ref[0].astype(jnp.float32), axis=-1, keepdims=True)
+    ds = p * (dp - d_diag)
+    dq_acc[...] += jax.lax.dot_general(
+        ds, k_ref[0].astype(jnp.float32), (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+
+    @pl.when(jk == n_k - 1)
+    def _():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
 
 
-def _flash_bwd(scale, block_q, interpret, residuals, d_out):
-    query, key, value, key_valid_mask, out = residuals
+def _dkv_kernel(*refs, scale: float, rate: float, drop_mode: str, n_q: int):
+    if drop_mode == "none":
+        (q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        drop_ref = None
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, drop_ref, do_ref, o_ref, lse_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    # grid order is (bh, jk, iq) here; dropout seeding uses the tile's
+    # (iq, jk) coordinates so the mask matches the forward draw exactly
+    bh, jk, iq = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    do = do_ref[0].astype(jnp.float32)
+    s = jax.lax.dot_general(
+        q_ref[0], k_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    valid = mask_ref[0, 0, :] > 0
+    s = jnp.where(valid[None, :], s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, :, 0:1])  # (bq, bk)
+
+    dp = jax.lax.dot_general(
+        do, v_ref[0].astype(jnp.float32), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    if rate > 0.0:
+        keep = _tile_keep(drop_mode, drop_ref, bh, iq, jk, p.shape, rate)
+        inv = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, p * inv, 0.0)
+        dp = jnp.where(keep, dp * inv, 0.0)
+    else:
+        pd = p
+    d_diag = jnp.sum(do * o_ref[0].astype(jnp.float32), axis=-1, keepdims=True)
+    ds = p * (dp - d_diag)
+    dk_acc[...] += jax.lax.dot_general(
+        ds, q_ref[0].astype(jnp.float32), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    dv_acc[...] += jax.lax.dot_general(
+        pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(iq == n_q - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_impl(
+    query, key, value, key_valid_mask, dropout_seed, out, lse, d_out,
+    dropout_rate, scale, block_q, block_k, interpret,
+):
     b, h, sq, d = query.shape
-    sk = key.shape[2]
+    sk, dv = key.shape[2], value.shape[-1]
     if scale is None:
         scale = 1.0 / (d**0.5)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
+    drop_mode, interpret = _resolve(dropout_rate, dropout_seed, interpret)
 
-    sk_pad = -(-sk // 128) * 128
-    bq = _pick_block_q(block_q, sq, sk_pad)
-    sq_pad = -(-sq // bq) * bq
-
+    bq, bk, sq_pad, sk_pad = _plan(sq, sk, block_q, block_k)
+    n_q, n_k = sq_pad // bq, sk_pad // bk
+    qf, kf, vf, mask_bh = _prep_inputs(
+        query, key, value, key_valid_mask, bq, bk, sq_pad, sk_pad
+    )
     pad_q = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, sq_pad - sq), (0, 0)))
-    pad_k = lambda t: jnp.pad(t, ((0, 0), (0, 0), (0, sk_pad - sk), (0, 0)))
-    if key_valid_mask is None:
-        key_valid_mask = jnp.ones((b, sk), bool)
-    mask = jnp.pad(key_valid_mask.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)))
-    mask_bh = jnp.repeat(mask, h, axis=0)[:, None, :]
+    dof = pad_q(d_out).reshape(b * h, sq_pad, dv)
+    of = pad_q(out).reshape(b * h, sq_pad, dv)
+    drop_op = _drop_operand(drop_mode, dropout_seed, b * h, sq_pad, sk_pad, dropout_rate)
 
-    qf = pad_q(query).reshape(b * h, sq_pad, d)
-    kf = pad_k(key).reshape(b * h, sk_pad, d)
-    vf = pad_k(value).reshape(b * h, sk_pad, d)
-    dof = pad_q(d_out).reshape(b * h, sq_pad, d)
-    of = pad_q(out).reshape(b * h, sq_pad, d)
+    vmem = pltpu.VMEM
+    q_spec = lambda im: pl.BlockSpec((1, bq, d), im, memory_space=vmem)
+    k_spec = lambda im: pl.BlockSpec((1, bk, d), im, memory_space=vmem)
+    v_spec = lambda im: pl.BlockSpec((1, bk, dv), im, memory_space=vmem)
+    qo_spec = lambda im: pl.BlockSpec((1, bq, dv), im, memory_space=vmem)
+    lse_spec = lambda im: pl.BlockSpec((1, bq, LANES), im, memory_space=vmem)
+    mask_spec = lambda im: pl.BlockSpec((1, 1, bk), im, memory_space=vmem)
 
-    grid = (b * h, sq_pad // bq)
-    q_spec = pl.BlockSpec((1, bq, d), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM)
-    k_spec = pl.BlockSpec((1, sk_pad, d), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
-    dq, dk, dv = pl.pallas_call(
-        functools.partial(_attn_bwd_kernel, scale=scale),
-        out_shape=(
-            jax.ShapeDtypeStruct((b * h, sq_pad, d), query.dtype),
-            jax.ShapeDtypeStruct((b * h, sk_pad, d), key.dtype),
-            jax.ShapeDtypeStruct((b * h, sk_pad, d), value.dtype),
+    # --- dQ: grid (bh, iq, jk), accumulate over k tiles --------------------
+    im_q = lambda i, iq, jk: (i, iq, 0)
+    im_k = lambda i, iq, jk: (i, jk, 0)
+    im_m = lambda i, iq, jk: (i, 0, jk)
+    in_specs = [q_spec(im_q), k_spec(im_k), v_spec(im_k), mask_spec(im_m)]
+    operands = [qf, kf, vf, mask_bh]
+    if drop_mode != "none":
+        in_specs.append(_drop_spec(drop_mode, bq, bk, lambda i, iq, jk: (i, iq, jk)))
+        operands.append(drop_op)
+    in_specs += [qo_spec(im_q), qo_spec(im_q), lse_spec(im_q)]
+    operands += [dof, of, lse]
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel, scale=scale, rate=dropout_rate, drop_mode=drop_mode, n_k=n_k
         ),
-        grid=grid,
-        in_specs=[
-            q_spec,
-            k_spec,
-            k_spec,
-            pl.BlockSpec(
-                (1, 1, sk_pad), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
-            q_spec,
-            q_spec,
-        ],
-        out_specs=(q_spec, k_spec, k_spec),
+        out_shape=jax.ShapeDtypeStruct((b * h, sq_pad, d), query.dtype),
+        grid=(b * h, n_q, n_k),
+        in_specs=in_specs,
+        out_specs=q_spec(im_q),
+        scratch_shapes=[pltpu.VMEM((bq, d), jnp.float32)],
         interpret=interpret,
-    )(qf, kf, vf, mask_bh, dof, of)
+    )(*operands)
+
+    # --- dK/dV: grid (bh, jk, iq), accumulate over q tiles ------------------
+    im_q2 = lambda i, jk, iq: (i, iq, 0)
+    im_k2 = lambda i, jk, iq: (i, jk, 0)
+    im_m2 = lambda i, jk, iq: (i, 0, jk)
+    in_specs = [q_spec(im_q2), k_spec(im_k2), v_spec(im_k2), mask_spec(im_m2)]
+    operands = [qf, kf, vf, mask_bh]
+    if drop_mode != "none":
+        in_specs.append(_drop_spec(drop_mode, bq, bk, lambda i, jk, iq: (i, iq, jk)))
+        operands.append(drop_op)
+    in_specs += [qo_spec(im_q2), qo_spec(im_q2), lse_spec(im_q2)]
+    operands += [dof, of, lse]
+    dk, dv_grad = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel, scale=scale, rate=dropout_rate, drop_mode=drop_mode, n_q=n_q
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b * h, sk_pad, d), key.dtype),
+            jax.ShapeDtypeStruct((b * h, sk_pad, dv), value.dtype),
+        ),
+        grid=(b * h, n_k, n_q),
+        in_specs=in_specs,
+        out_specs=(k_spec(im_k2), v_spec(im_k2)),
+        scratch_shapes=[
+            pltpu.VMEM((bk, d), jnp.float32),
+            pltpu.VMEM((bk, dv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
 
     dq = dq.reshape(b, h, sq_pad, d)[:, :, :sq]
     dk = dk.reshape(b, h, sk_pad, d)[:, :, :sk]
-    dv = dv.reshape(b, h, sk_pad, d)[:, :, :sk]
-    return dq, dk, dv, None
+    dv_grad = dv_grad.reshape(b, h, sk_pad, dv)[:, :, :sk]
+    return dq, dk, dv_grad
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+# ---------------------------------------------------------------------------
+# custom VJP
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9))
 def flash_attention_trainable(
-    query, key, value, key_valid_mask=None, scale=None, block_q=256, interpret=None
+    query, key, value, key_valid_mask=None, dropout_seed=None,
+    dropout_rate=0.0, scale=None, block_q=256, block_k=512, interpret=None,
 ):
-    """:func:`flash_attention` with a Pallas backward pass (probabilities
-    recomputed per q tile — no (Sq, Sk) residuals in HBM), usable inside
-    ``jax.grad``. Gradient flows to query/key/value; the mask is constant.
+    """:func:`flash_attention` with a Pallas backward pass, usable inside
+    ``jax.grad``. Gradient flows to query/key/value; the mask and dropout
+    seed are constants. With ``dropout_rate > 0`` the same keep-mask is
+    regenerated in the backward (seeded PRNG on TPU, seeded host mask in
+    interpret mode) — gradients are exact for the sampled mask.
     """
     return flash_attention(
-        query, key, value, key_valid_mask,
-        scale=scale, block_q=block_q, interpret=interpret,
+        query, key, value, key_valid_mask, dropout_seed, dropout_rate,
+        scale=scale, block_q=block_q, block_k=block_k, interpret=interpret,
     )
 
 
-def _fwd_rule(query, key, value, key_valid_mask, scale, block_q, interpret):
-    return _flash_fwd(query, key, value, key_valid_mask, scale, block_q, interpret)
+def _fwd_rule(query, key, value, key_valid_mask, dropout_seed,
+              dropout_rate, scale, block_q, block_k, interpret):
+    out, lse = _fwd_impl(
+        query, key, value, key_valid_mask, dropout_seed,
+        dropout_rate, scale, block_q, block_k, interpret,
+    )
+    return out, (query, key, value, key_valid_mask, dropout_seed, out, lse)
 
 
-def _bwd_rule(scale, block_q, interpret, residuals, d_out):
-    return _flash_bwd(scale, block_q, interpret, residuals, d_out)
+def _bwd_rule(dropout_rate, scale, block_q, block_k, interpret, residuals, d_out):
+    query, key, value, key_valid_mask, dropout_seed, out, lse = residuals
+    dq, dk, dv = _bwd_impl(
+        query, key, value, key_valid_mask, dropout_seed, out, lse, d_out,
+        dropout_rate, scale, block_q, block_k, interpret,
+    )
+    return dq, dk, dv, None, None
 
 
 flash_attention_trainable.defvjp(_fwd_rule, _bwd_rule)

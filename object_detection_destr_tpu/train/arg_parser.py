@@ -62,6 +62,9 @@ def get_parser(model_name: str = "destr") -> argparse.ArgumentParser:
                        choices=["resnet50", "resnet101"])
         p.add_argument("--dilation", action="store_true")
         p.add_argument("--image_size", type=int, default=640)
+        p.add_argument("--use_flash_attention", action="store_true",
+                       help="fused Pallas attention (encoder MHSA + decoder "
+                            "cross attention), incl. in-kernel attention dropout")
     elif model_name == "ssd":
         p.add_argument("--coef_class_loss", type=float, default=0.5)
         p.add_argument("--num_cls", type=int, default=20)
@@ -106,6 +109,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         num_cls=getattr(args, "num_cls", 2) if model_name == "destr" else 2,
         backbone=getattr(args, "backbone", "resnet50"),
         dilation=getattr(args, "dilation", False),
+        use_flash_attention=getattr(args, "use_flash_attention", False),
         compute_dtype=args.compute_dtype,
     )
     ssd = SSDConfig(

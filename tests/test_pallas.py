@@ -60,7 +60,7 @@ def test_flash_attention_trainable_grads_match_xla():
     w = jnp.asarray(rng.normal(size=(b, h, sq, d)).astype(np.float32))
 
     def loss_flash(q, k, v):
-        out = flash_attention_trainable(q, k, v, mask, None, 16, True)
+        out = flash_attention_trainable(q, k, v, mask, None, 0.0, None, 16, 128, True)
         return jnp.sum(out * w)
 
     def loss_xla(q, k, v):
@@ -89,7 +89,7 @@ def test_flash_attention_trainable_forward_matches_plain():
     k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
     v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
     a = flash_attention(q, k, v, block_q=8, interpret=True)
-    t = flash_attention_trainable(q, k, v, None, None, 8, True)
+    t = flash_attention_trainable(q, k, v, None, None, 0.0, None, 8, 512, True)
     np.testing.assert_allclose(np.asarray(a), np.asarray(t), atol=1e-6)
 
 
@@ -129,3 +129,241 @@ def test_encoder_flash_path_matches_xla_path():
         ),
         gx, gf,
     )
+
+
+def test_flash_attention_multi_k_tile_matches_xla():
+    """Streaming K/V tiles (n_k > 1) must agree with the one-shot XLA path."""
+    rng = np.random.default_rng(7)
+    b, h, sq, sk, d = 1, 2, 40, 300, 32
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, sk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, sk, d)).astype(np.float32))
+    mask = np.ones((b, sk), bool)
+    mask[0, 250:] = False
+    mask = jnp.asarray(mask)
+
+    ours = flash_attention(q, k, v, mask, block_q=16, block_k=128, interpret=True)
+    ref = scaled_dot_product_attention(q, k, v, key_valid_mask=mask)
+    ours_merged = ours.transpose(0, 2, 1, 3).reshape(b, sq, h * d)
+    np.testing.assert_allclose(np.asarray(ours_merged), np.asarray(ref), atol=2e-5)
+
+
+def test_flash_attention_separate_value_dim():
+    """d_v != d_qk (decoder concat-QK cross attention: d=2C, dv=C)."""
+    rng = np.random.default_rng(8)
+    b, h, sq, sk, d, dv = 2, 1, 24, 150, 64, 32
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, sk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, sk, dv)).astype(np.float32))
+    mask = np.ones((b, sk), bool)
+    mask[1, 100:] = False
+    mask = jnp.asarray(mask)
+
+    ours = flash_attention(q, k, v, mask, block_q=16, block_k=128, interpret=True)
+    ref = scaled_dot_product_attention(q, k, v, key_valid_mask=mask)
+    np.testing.assert_allclose(
+        np.asarray(ours.transpose(0, 2, 1, 3).reshape(b, sq, h * dv)),
+        np.asarray(ref), atol=2e-5,
+    )
+
+    from object_detection_destr_tpu.ops.pallas.flash_attention import (
+        flash_attention_trainable,
+    )
+    w = jnp.asarray(rng.normal(size=(b, h, sq, dv)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        out = flash_attention_trainable(q, k, v, mask, None, 0.0, None, 16, 128, True)
+        return jnp.sum(out * w)
+
+    def loss_xla(q, k, v):
+        ref = scaled_dot_product_attention(q, k, v, key_valid_mask=mask)
+        return jnp.sum(ref.reshape(b, sq, h, dv).transpose(0, 2, 1, 3) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(gf, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-5,
+            err_msg=f"d{name} mismatch",
+        )
+
+
+def _manual_dropout_attention(q, k, v, mask, keep, rate):
+    """Plain-jnp attention applying an explicit keep mask to the softmax
+    probabilities — the ground truth for the kernel's dropout math."""
+    d = q.shape[-1]
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k) / (d**0.5)
+    logits = jnp.where(mask[:, None, None, :], logits, -1e9)
+    probs = jax.nn.softmax(logits, axis=-1)
+    b, h, sq, sk = probs.shape
+    keep = keep[:, :sq, :sk].reshape(b, h, sq, sk)
+    probs = jnp.where(keep > 0, probs / (1.0 - rate), 0.0)
+    return jnp.einsum("bhqk,bhkv->bhqv", probs, v)
+
+
+def test_flash_attention_dropout_matches_manual():
+    """Interpret-mode dropout must equal attention with the exposed keep
+    mask applied to the probabilities (forward AND gradients)."""
+    from object_detection_destr_tpu.ops.pallas.flash_attention import (
+        dropout_keep_mask,
+        flash_attention_trainable,
+    )
+
+    rng = np.random.default_rng(11)
+    b, h, sq, sk, d, rate, seed = 1, 2, 24, 40, 32, 0.3, 42
+    q = jnp.asarray(rng.normal(size=(b, h, sq, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, sk, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, sk, d)).astype(np.float32))
+    mask = np.ones((b, sk), bool)
+    mask[0, 33:] = False
+    mask = jnp.asarray(mask)
+    bq, bk = 8, 128
+    sq_pad, sk_pad = 24, 128
+    keep = dropout_keep_mask(jnp.int32(seed), b * h, sq_pad, sk_pad, rate)
+
+    out = flash_attention(
+        q, k, v, mask, jnp.int32(seed), rate, block_q=bq, block_k=bk, interpret=True
+    )
+    expected = _manual_dropout_attention(q, k, v, mask, keep, rate)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(expected), atol=2e-5)
+
+    w = jnp.asarray(rng.normal(size=(b, h, sq, d)).astype(np.float32))
+
+    def loss_flash(q, k, v):
+        out = flash_attention_trainable(
+            q, k, v, mask, jnp.int32(seed), rate, None, bq, bk, True
+        )
+        return jnp.sum(out * w)
+
+    def loss_manual(q, k, v):
+        return jnp.sum(_manual_dropout_attention(q, k, v, mask, keep, rate) * w)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gm = jax.grad(loss_manual, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(gf, gm, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-4, atol=2e-5,
+            err_msg=f"d{name} mismatch under dropout",
+        )
+
+
+def test_flash_attention_dropout_statistics_and_determinism():
+    rng = np.random.default_rng(12)
+    b, h, s, d, rate = 2, 4, 64, 32, 0.3
+    q = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, s, d)).astype(np.float32))
+
+    o1 = flash_attention(q, k, v, None, jnp.int32(7), rate, interpret=True)
+    o2 = flash_attention(q, k, v, None, jnp.int32(7), rate, interpret=True)
+    o3 = flash_attention(q, k, v, None, jnp.int32(8), rate, interpret=True)
+    assert np.array_equal(np.asarray(o1), np.asarray(o2)), "same seed must repeat"
+    assert not np.array_equal(np.asarray(o1), np.asarray(o3)), "seeds must differ"
+
+    from object_detection_destr_tpu.ops.pallas.flash_attention import dropout_keep_mask
+    keep = np.asarray(dropout_keep_mask(jnp.int32(7), 64, 256, 256, rate))
+    frac = 1.0 - keep.mean()
+    assert abs(frac - rate) < 0.01, f"drop fraction {frac} vs rate {rate}"
+
+    # expectation preserved: averaged over seeds, dropout output ~ clean output
+    clean = flash_attention(q, k, v, interpret=True)
+    acc = np.zeros_like(np.asarray(clean))
+    n_seeds = 24
+    for sd in range(n_seeds):
+        acc += np.asarray(
+            flash_attention(q, k, v, None, jnp.int32(100 + sd), rate, interpret=True)
+        )
+    resid = np.abs(acc / n_seeds - np.asarray(clean)).mean()
+    scale = np.abs(np.asarray(clean)).mean()
+    assert resid < 0.2 * scale, f"mean residual {resid} vs scale {scale}"
+
+
+def test_clsreg_branch_flash_path_matches_xla():
+    """Decoder cross-attention branch: use_flash=True reproduces the XLA
+    path (forward and gradients), dropout off."""
+    from object_detection_destr_tpu.models.destr.decoder import ClsRegBranch
+
+    rng = np.random.default_rng(13)
+    b, s, l, c = 2, 12, 50, 32
+    inputs = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    query = jnp.asarray(rng.normal(size=(b, s, 2 * c)).astype(np.float32))
+    key = jnp.asarray(rng.normal(size=(b, l, 2 * c)).astype(np.float32))
+    value = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    valid = np.ones((b, l), bool)
+    valid[0, 40:] = False
+    valid = jnp.asarray(valid)
+
+    xla_br = ClsRegBranch(hidden_dim=c, dropout=0.0, use_flash=False)
+    params = xla_br.init(jax.random.key(0), inputs, query, key, value, valid)["params"]
+    flash_br = ClsRegBranch(hidden_dim=c, dropout=0.0, use_flash=True)
+
+    out_x = xla_br.apply({"params": params}, inputs, query, key, value, valid)
+    out_f = flash_br.apply({"params": params}, inputs, query, key, value, valid)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=2e-4, atol=2e-5)
+
+    def loss(mod):
+        def f(p):
+            return jnp.sum(
+                mod.apply({"params": p}, inputs, query, key, value, valid) ** 2
+            )
+        return f
+
+    gx = jax.grad(loss(xla_br))(params)
+    gf = jax.grad(loss(flash_br))(params)
+    jax.tree.map(
+        lambda a, bb: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=5e-4, atol=5e-5
+        ),
+        gx, gf,
+    )
+
+
+def test_decoder_flash_path_matches_xla():
+    """Whole decoder with use_flash=True (cross attention fused) must match
+    the XLA decoder, dropout off."""
+    from object_detection_destr_tpu.models.destr.decoder import Decoder
+    from object_detection_destr_tpu.models.destr.layers import Mlp
+
+    rng = np.random.default_rng(14)
+    b, s, l, c = 2, 8, 30, 32
+    objs = jnp.asarray(rng.normal(size=(b, s, 2 * c)).astype(np.float32))
+    enc = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    fine_pos = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    obj_pos = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    centers = jnp.asarray(rng.uniform(0.1, 0.9, size=(b, s, 2)).astype(np.float32))
+    valid = np.ones((b, l), bool)
+    valid[1, 20:] = False
+    valid = jnp.asarray(valid)
+
+    bbox_embed = Mlp([c, 4])
+    bparams = bbox_embed.init(jax.random.key(1), jnp.zeros((1, c)))["params"]
+
+    def run(flash, params=None):
+        dec = Decoder(hidden_dim=c, num_heads=4, num_blocks=2, dropout=0.0,
+                      use_flash=flash)
+
+        class Wrapper:  # bind the shared bbox head like the model does
+            pass
+
+        import flax.linen as fnn
+
+        class Host(fnn.Module):
+            use_flash: bool
+
+            def setup(self):
+                self.bbox = Mlp([c, 4], name="bbox")
+                self.dec = Decoder(hidden_dim=c, num_heads=4, num_blocks=2,
+                                   dropout=0.0, use_flash=self.use_flash, name="dec")
+
+            def __call__(self):
+                return self.dec(objs, enc, valid, fine_pos, obj_pos, centers,
+                                self.bbox)
+
+        host = Host(use_flash=flash)
+        if params is None:
+            params = host.init(jax.random.key(2))["params"]
+        return host.apply({"params": params}), params
+
+    out_x, params = run(False)
+    out_f, _ = run(True, params)
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=3e-4, atol=3e-5)
