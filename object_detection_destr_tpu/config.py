@@ -98,6 +98,12 @@ class TrainConfig:
     # data
     image_size: int = 640
     max_targets: int = 300  # dataset.py:54 caps GT boxes at 300
+    # aspect-preserving letterbox data path (vs the default square stretch):
+    # the loader pads instead of stretching, train crops carry a pixel
+    # validity mask into the model, and eval reproduces the reference's
+    # shorter-side-672 + center-crop-640 geometry exactly
+    # (src/dataset/transforms.py:170-181)
+    letterbox: bool = False
     # parallelism
     num_data_shards: int = 1  # devices on the 'data' mesh axis
 

@@ -65,20 +65,26 @@ class SyntheticDetection:
         max_boxes: int = 8,
         num_classes: int = 1,
         seed: int = 0,
+        aspect_ratios: tuple = (1.0,),
     ):
         self.num_samples = num_samples
         self.image_size = image_size
         self.max_boxes = max_boxes
         self.num_classes = num_classes
         self.seed = seed
+        # w/h ratios cycled per index; non-1 values yield non-square images
+        # (real datasets are non-square — exercises the letterbox path)
+        self.aspect_ratios = aspect_ratios
 
     def __len__(self) -> int:
         return self.num_samples
 
     def __getitem__(self, idx: int):
         rng = np.random.default_rng(self.seed * 100003 + idx)
+        ar = self.aspect_ratios[idx % len(self.aspect_ratios)]
         s = self.image_size
-        image = rng.integers(0, 40, size=(s, s, 3), dtype=np.uint8)
+        sw = max(int(round(s * ar)), 8)
+        image = rng.integers(0, 40, size=(s, sw, 3), dtype=np.uint8)
         n = int(rng.integers(1, self.max_boxes + 1))
         boxes, labels = [], []
         for _ in range(n):
@@ -89,8 +95,8 @@ class SyntheticDetection:
             cls = int(rng.integers(0, self.num_classes))
             color = np.zeros(3, np.uint8)
             color[cls % 3] = 255 - 40 * (cls // 3)
-            xi1, yi1 = int(x1 * s), int(y1 * s)
-            xi2, yi2 = int((x1 + w) * s), int((y1 + h) * s)
+            xi1, yi1 = int(x1 * sw), int(y1 * s)
+            xi2, yi2 = int((x1 + w) * sw), int((y1 + h) * s)
             image[yi1:yi2, xi1:xi2] = color
             boxes.append([x1, y1, x1 + w, y1 + h])
             labels.append(cls)
@@ -263,6 +269,7 @@ def build_dataset(
     num_classes: int = 1,
     max_items_per_img: int = 300,
     seed: int = 0,
+    aspect_ratios: tuple = (1.0,),
 ):
     """Dataset factory keyed by the config's ``data.dataset`` string."""
     if name == "synthetic":
@@ -271,6 +278,7 @@ def build_dataset(
             image_size=image_size,
             num_classes=num_classes,
             seed=seed + (0 if split == "train" else 10_000),
+            aspect_ratios=aspect_ratios,
         )
     if name == "widerface":
         return WiderFaceDetection(root, split, max_items_per_img)

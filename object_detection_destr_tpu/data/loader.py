@@ -41,11 +41,44 @@ def _resize_canvas(image: np.ndarray, canvas: int) -> np.ndarray:
         )
 
 
+def _letterbox_canvas(image: np.ndarray, canvas: int):
+    """Aspect-preserving resize onto a zero (canvas, canvas, 3) canvas,
+    content pasted top-left. Returns (canvas_image, fh, fw) where fh/fw are
+    the content extents as fractions of the canvas.
+
+    Unlike :func:`_resize_canvas` (the square stretch, which distorts
+    non-square images), this keeps the reference's eval geometry reachable
+    (src/dataset/transforms.py:170-181 preserves aspect ratio) at the cost of
+    real zero padding — which downstream transforms expose as a pixel
+    validity mask.
+    """
+    ih, iw = image.shape[:2]
+    scale = canvas / max(ih, iw)
+    nh = max(int(round(ih * scale)), 1)
+    nw = max(int(round(iw * scale)), 1)
+    try:
+        import cv2
+
+        resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    except Exception:
+        from PIL import Image
+
+        resized = np.asarray(Image.fromarray(image).resize((nw, nh), Image.BILINEAR))
+    out = np.zeros((canvas, canvas, 3), np.uint8)
+    out[:nh, :nw] = resized
+    return out, nh / canvas, nw / canvas
+
+
 class DetectionLoader:
     """Iterate padded numpy batches.
 
     Batch: {"images": (B, C, C, 3) uint8, "boxes": (B, T, 4) xyxy norm,
             "labels": (B, T) int32, "valid": (B, T) bool}
+
+    With ``letterbox=True`` images are aspect-preserving-resized and pasted
+    top-left on a zero canvas instead of stretched; the batch gains
+    "content_hw": (B, 2) float32 content-extent fractions, and boxes are
+    re-normalized to canvas coordinates (content occupies [0, fh] x [0, fw]).
     """
 
     def __init__(
@@ -60,10 +93,12 @@ class DetectionLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         num_workers: int = 8,
+        letterbox: bool = False,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.canvas_size = canvas_size
+        self.letterbox = letterbox
         self.max_targets = max_targets
         self.augment_factor = max(augment_factor, 1)
         self.shuffle = shuffle
@@ -106,6 +141,30 @@ class DetectionLoader:
         labels = np.zeros((b, t), np.int32)
         valid = np.zeros((b, t), bool)
         from ..runtime import native as _native
+
+        if self.letterbox:
+            fetch = lambda vi: self.dataset[int(vi) % len(self.dataset)]
+            if self._pool is not None:
+                items = list(self._pool.map(fetch, idxs))
+            else:
+                items = [fetch(i) for i in idxs]
+            images = np.zeros((b, c, c, 3), np.uint8)
+            content_hw = np.zeros((b, 2), np.float32)
+            for j, (img, bx, lb) in enumerate(items):
+                images[j], fh, fw = _letterbox_canvas(img, c)
+                content_hw[j] = (fh, fw)
+                n = min(len(bx), t)
+                if n:
+                    # original-normalized -> canvas-normalized coordinates
+                    boxes[j, :n] = bx[:n] * np.asarray(
+                        [fw, fh, fw, fh], np.float32
+                    )
+                    labels[j, :n] = lb[:n]
+                    valid[j, :n] = True
+            return {
+                "images": images, "boxes": boxes, "labels": labels,
+                "valid": valid, "content_hw": content_hw,
+            }
 
         # fastest path: fused native JPEG decode + canvas resize, one call per
         # batch (runtime/cc/jpeg_decode.cc) — available when the dataset can

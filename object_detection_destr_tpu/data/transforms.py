@@ -35,6 +35,7 @@ __all__ = [
     "normalize_imagenet",
     "destr_train_transform",
     "destr_eval_transform",
+    "letterbox_infer_transform",
     "ssd_train_transform",
     "ssd_eval_transform",
 ]
@@ -87,6 +88,7 @@ def destr_train_transform(
     labels: jnp.ndarray,
     valid: jnp.ndarray,
     rng: jax.Array,
+    content_hw: jnp.ndarray = None,
     out_size: int = 640,
     scale_range: tuple = (0.08, 1.0),
     ratio_range: tuple = (3.0 / 4.0, 4.0 / 3.0),
@@ -96,13 +98,24 @@ def destr_train_transform(
     Args:
         images: (B, H, W, 3) uint8/float canvas (any fixed size).
         boxes_xyxy: (B, T, 4) normalized; labels: (B, T); valid: (B, T).
+        content_hw: optional (B, 2) content-extent fractions from the
+            letterbox loader. When given, the crop is sampled over the real
+            content (area fraction of content area, offsets inside content)
+            but may extend into the zero padding when the sampled aspect
+            ratio doesn't fit the content aspect — the output then carries a
+            "pixel_valid" (B, S, S) mask marking real pixels, which the model
+            consumes as its image valid-mask (the reference's NestedTensor
+            mask semantics, misc.py:26-45, finally exercised with real
+            padding).
 
     Returns dict with "images" (B, S, S, 3) normalized float32 and
-    transformed padded targets.
+    transformed padded targets (+ "pixel_valid" in letterbox mode).
     """
     b, h, w, _ = images.shape
+    letterboxed = content_hw is not None
 
-    def one(image, boxes, vmask, key):
+    def one(image, boxes, vmask, key, content):
+        hc, wc = content[0] * h, content[1] * w  # content extent, pixels
         k_area, k_ratio, k_y, k_x, k_flip = jax.random.split(key, 5)
         area_frac = jax.random.uniform(
             k_area, minval=scale_range[0], maxval=scale_range[1]
@@ -113,17 +126,24 @@ def destr_train_transform(
             maxval=math.log(ratio_range[1]),
         )
         ratio = jnp.exp(log_r)
-        target_area = area_frac * h * w
+        target_area = area_frac * hc * wc
         cw = jnp.clip(jnp.sqrt(target_area * ratio), 8.0, w)
         ch = jnp.clip(jnp.sqrt(target_area / ratio), 8.0, h)
-        y0 = jax.random.uniform(k_y, minval=0.0, maxval=1.0) * (h - ch)
-        x0 = jax.random.uniform(k_x, minval=0.0, maxval=1.0) * (w - cw)
+        y0 = jax.random.uniform(k_y, minval=0.0, maxval=1.0) * jnp.maximum(hc - ch, 0.0)
+        x0 = jax.random.uniform(k_x, minval=0.0, maxval=1.0) * jnp.maximum(wc - cw, 0.0)
 
         out = _resize_crop(image, y0, x0, ch, cw, out_size)
         new_boxes, new_valid = _crop_boxes(boxes, vmask, y0, x0, ch, cw, h, w)
 
+        # output pixel (i, j) samples canvas position y0 + (i+.5)·ch/S; it is
+        # real content iff that position is inside the content extent
+        rows = y0 + (jnp.arange(out_size) + 0.5) * ch / out_size
+        cols = x0 + (jnp.arange(out_size) + 0.5) * cw / out_size
+        pvalid = (rows[:, None] < hc) & (cols[None, :] < wc)
+
         flip = jax.random.bernoulli(k_flip)
         out = jnp.where(flip, out[:, ::-1, :], out)
+        pvalid = jnp.where(flip, pvalid[:, ::-1], pvalid)
         flipped = jnp.stack(
             [
                 1.0 - new_boxes[..., 2],
@@ -134,11 +154,62 @@ def destr_train_transform(
             axis=-1,
         )
         new_boxes = jnp.where(flip, flipped, new_boxes)
+        return out, new_boxes, new_valid, pvalid
+
+    if content_hw is None:
+        content_hw = jnp.ones((b, 2), jnp.float32)
+    keys = jax.random.split(rng, b)
+    out_images, out_boxes, out_valid, pixel_valid = jax.vmap(one)(
+        images, boxes_xyxy, valid, keys, content_hw
+    )
+    result = {
+        "images": normalize_imagenet(out_images),
+        "boxes": out_boxes,
+        "labels": labels,
+        "valid": out_valid,
+    }
+    if letterboxed:
+        result["pixel_valid"] = pixel_valid
+    return result
+
+
+@partial(jax.jit, static_argnames=("resize_to", "out_size"))
+def destr_eval_transform(
+    images: jnp.ndarray,
+    boxes_xyxy: jnp.ndarray,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    content_hw: jnp.ndarray = None,
+    resize_to: int = 672,
+    out_size: int = 640,
+):
+    """Resize shorter-side-to-``resize_to`` + center-crop ``out_size``
+    (transforms.py:170-181).
+
+    On a stretched square canvas this is a fixed central window of side
+    ``out_size / resize_to`` of the canvas. With ``content_hw`` (letterbox
+    loader) it is the *true* reference geometry: the reference's shorter-side
+    resize + center crop is, in source coordinates, a centered square window
+    of side ``out_size/resize_to * min(H, W)`` — here computed per image over
+    the aspect-preserved content, so eval sees exactly the pixel distribution
+    the reference evaluates on (no stretch). The window always lies inside
+    the content, so no pixel mask is needed.
+    """
+    b, h, w, _ = images.shape
+
+    def one(image, boxes, vmask, content):
+        hc, wc = content[0] * h, content[1] * w
+        side = jnp.minimum(hc, wc) * out_size / resize_to
+        y0 = (hc - side) / 2.0
+        x0 = (wc - side) / 2.0
+        out = _resize_crop(image, y0, x0, side, side, out_size)
+        new_boxes, new_valid = _crop_boxes(boxes, vmask, y0, x0, side, side, h, w)
         return out, new_boxes, new_valid
 
-    keys = jax.random.split(rng, b)
+    if content_hw is None:
+        content_hw = jnp.ones((b, 2), jnp.float32)
     out_images, out_boxes, out_valid = jax.vmap(one)(
-        images, boxes_xyxy, valid, keys
+        images, boxes_xyxy, valid, content_hw
     )
     return {
         "images": normalize_imagenet(out_images),
@@ -148,38 +219,30 @@ def destr_train_transform(
     }
 
 
-@partial(jax.jit, static_argnames=("resize_to", "out_size"))
-def destr_eval_transform(
+@partial(jax.jit, static_argnames=("out_size",))
+def letterbox_infer_transform(
     images: jnp.ndarray,
-    boxes_xyxy: jnp.ndarray,
-    labels: jnp.ndarray,
-    valid: jnp.ndarray,
-    resize_to: int = 672,
+    content_hw: jnp.ndarray,
     out_size: int = 640,
 ):
-    """Resize shorter-side-to-``resize_to`` + center-crop ``out_size``.
+    """Whole-canvas resize + pixel validity mask, for serving/inference.
 
-    On a square canvas this is a fixed central window of side
-    ``out_size / resize_to`` of the canvas — a single fused resample.
+    Unlike the eval transform this crops nothing — the full letterboxed
+    canvas (content + zero padding) is resampled to ``out_size`` and the
+    content region is reported as a (B, S, S) bool mask for the model's
+    image valid-mask input. Boxes predicted in output coordinates map back
+    to the original image by dividing by the content fractions.
     """
     b, h, w, _ = images.shape
-    ch = h * out_size / resize_to
-    cw = w * out_size / resize_to
-    y0 = (h - ch) / 2.0
-    x0 = (w - cw) / 2.0
 
-    def one(image, boxes, vmask):
-        out = _resize_crop(image, y0, x0, ch, cw, out_size)
-        new_boxes, new_valid = _crop_boxes(boxes, vmask, y0, x0, ch, cw, h, w)
-        return out, new_boxes, new_valid
+    def one(image, content):
+        out = _resize_crop(image, 0.0, 0.0, float(h), float(w), out_size)
+        frac = (jnp.arange(out_size) + 0.5) / out_size
+        pvalid = (frac[:, None] < content[0]) & (frac[None, :] < content[1])
+        return out, pvalid
 
-    out_images, out_boxes, out_valid = jax.vmap(one)(images, boxes_xyxy, valid)
-    return {
-        "images": normalize_imagenet(out_images),
-        "boxes": out_boxes,
-        "labels": labels,
-        "valid": out_valid,
-    }
+    out_images, pixel_valid = jax.vmap(one)(images, content_hw)
+    return {"images": normalize_imagenet(out_images), "pixel_valid": pixel_valid}
 
 
 # SSD-paper min-IoU (here: min fraction of box centers retained) modes; the

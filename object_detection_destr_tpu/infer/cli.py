@@ -40,6 +40,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", type=str, default="detections.json")
     p.add_argument("--score_thresh", type=float, default=0.5)
     p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--letterbox", action="store_true",
+                   help="aspect-preserving inference (DESTR): pad instead of "
+                        "stretch, feed the pixel valid-mask to the model, and "
+                        "report boxes in original-image coordinates")
     # model shape flags must match the checkpoint
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--ffn_dim", type=int, default=2048)
@@ -75,17 +79,41 @@ def main(argv=None) -> list[dict]:
         model = build_ssd(cfg)
 
     restored = restore_for_inference(args.checkpoint_dir, args.weights)
-
-    batch = np.stack(
-        [_resize_canvas(_load_image(f), size) for f in args.images]
-    )
-    images = normalize_imagenet(jnp.asarray(batch))
-
     variables = {"params": restored["params"], "batch_stats": restored["batch_stats"]}
-    if args.model == "destr":
+
+    if args.letterbox and args.model == "destr":
+        # aspect-preserving serving: letterbox each image, run the model with
+        # the pixel valid-mask, then map boxes back to original coordinates
+        from ..data.loader import _letterbox_canvas
+        from ..data.transforms import letterbox_infer_transform
+
+        canvases, content = [], []
+        for f in args.images:
+            img, fh, fw = _letterbox_canvas(_load_image(f), size)
+            canvases.append(img)
+            content.append((fh, fw))
+        content = np.asarray(content, np.float32)
+        prep = letterbox_infer_transform(
+            jnp.asarray(np.stack(canvases)), jnp.asarray(content), out_size=size
+        )
+        outputs, _ = model.apply(
+            variables, prep["images"], valid_mask=prep["pixel_valid"], train=False
+        )
+        dets = destr_predict(outputs, score_thresh=args.score_thresh)
+        # canvas-normalized cxcyhw -> original-image-normalized xyxy
+        dets = dict(dets)
+        scale = np.stack(
+            [content[:, 1], content[:, 0], content[:, 1], content[:, 0]], -1
+        )  # x / fw, y / fh
+        dets["boxes"] = jnp.clip(dets["boxes"] / scale[:, None, :], 0.0, 1.0)
+    elif args.model == "destr":
+        batch = np.stack([_resize_canvas(_load_image(f), size) for f in args.images])
+        images = normalize_imagenet(jnp.asarray(batch))
         outputs, _ = model.apply(variables, images, train=False)
         dets = destr_predict(outputs, score_thresh=args.score_thresh)
     else:
+        batch = np.stack([_resize_canvas(_load_image(f), size) for f in args.images])
+        images = normalize_imagenet(jnp.asarray(batch))
         outputs = model.apply(variables, images, train=False)
         dets = ssd_predict(outputs, flat_anchors(cfg), score_thresh=args.score_thresh)
 

@@ -62,6 +62,10 @@ def get_parser(model_name: str = "destr") -> argparse.ArgumentParser:
                        choices=["resnet50", "resnet101"])
         p.add_argument("--dilation", action="store_true")
         p.add_argument("--image_size", type=int, default=640)
+        p.add_argument("--letterbox", action="store_true",
+                       help="aspect-preserving data path: pad instead of "
+                            "stretch, pixel valid-mask into the model, "
+                            "reference-exact eval geometry")
         p.add_argument("--use_flash_attention", action="store_true",
                        help="fused Pallas attention (encoder MHSA + decoder "
                             "cross attention), incl. in-kernel attention dropout")
@@ -98,6 +102,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         coco_eval=args.coco_eval,
         grad_accum_steps=args.grad_accum_steps,
         image_size=getattr(args, "image_size", 640),
+        letterbox=getattr(args, "letterbox", False),
     )
     destr = DestrConfig(
         hidden_dim=getattr(args, "hidden_dim", 256),

@@ -60,6 +60,13 @@ __all__ = ["train_destr", "train_ssd"]
 def _make_loaders(config: Config, canvas: int, for_train_model: str):
     data = config.data
     num_classes = {"destr": 1, "ssd": config.ssd.num_cls}[for_train_model]
+    # under letterbox the synthetic set emits mixed aspect ratios so the
+    # padding path is actually exercised (real datasets are non-square)
+    aspects = (
+        (1.0, 0.7, 1.4)
+        if config.train.letterbox and data.dataset == "synthetic"
+        else (1.0,)
+    )
     train_ds = build_dataset(
         data.dataset,
         data.root,
@@ -69,6 +76,7 @@ def _make_loaders(config: Config, canvas: int, for_train_model: str):
         num_classes=num_classes,
         max_items_per_img=data.max_targets,
         seed=config.train.seed,
+        aspect_ratios=aspects,
     )
     valid_split = "valid" if data.dataset in ("voc",) else (
         "val" if data.dataset in ("widerface",) else
@@ -83,7 +91,11 @@ def _make_loaders(config: Config, canvas: int, for_train_model: str):
         num_classes=num_classes,
         max_items_per_img=data.max_targets,
         seed=config.train.seed,
+        aspect_ratios=aspects,
     )
+    # the letterbox path is DESTR-only: the SSD reference stretches at eval
+    # too (transforms.py:141-152) and the SSD model has no pixel-mask input
+    letterbox = config.train.letterbox and for_train_model == "destr"
     train_loader = DetectionLoader(
         train_ds,
         batch_size=config.train.batch_size,
@@ -92,6 +104,7 @@ def _make_loaders(config: Config, canvas: int, for_train_model: str):
         augment_factor=data.augment_factor,
         shuffle=True,
         seed=config.train.seed,
+        letterbox=letterbox,
     )
     valid_loader = DetectionLoader(
         valid_ds,
@@ -101,24 +114,28 @@ def _make_loaders(config: Config, canvas: int, for_train_model: str):
         augment_factor=1,
         shuffle=True,  # reference shuffles the val loader too (train.py:284-290)
         seed=config.train.seed + 1,
+        letterbox=letterbox,
     )
     return train_loader, valid_loader
 
 
 def _device_batch(raw: dict, transform: Callable, mesh, rng=None):
     """Shard the host batch, then run the jitted augment on device."""
-    batch = shard_batch(
-        {
-            "images": raw["images"],
-            "boxes": raw["boxes"],
-            "labels": raw["labels"],
-            "valid": raw["valid"],
-        },
-        mesh,
-    )
+    host = {
+        "images": raw["images"],
+        "boxes": raw["boxes"],
+        "labels": raw["labels"],
+        "valid": raw["valid"],
+    }
+    if "content_hw" in raw:  # letterbox loader: content-extent fractions
+        host["content_hw"] = raw["content_hw"]
+    batch = shard_batch(host, mesh)
+    args = [batch["images"], batch["boxes"], batch["labels"], batch["valid"]]
     if rng is not None:
-        return transform(batch["images"], batch["boxes"], batch["labels"], batch["valid"], rng)
-    return transform(batch["images"], batch["boxes"], batch["labels"], batch["valid"])
+        args.append(rng)
+    if "content_hw" in batch:
+        args.append(batch["content_hw"])
+    return transform(*args)
 
 
 def train_destr(config: Config, mesh=None) -> dict:
@@ -151,11 +168,11 @@ def train_destr(config: Config, mesh=None) -> dict:
 
     aug_rng = jax.random.key(cfg_t.seed + 7)
     out_size = cfg_t.image_size
-    train_tf = lambda im, bx, lb, vd, key: destr_train_transform(
-        im, bx, lb, vd, key, out_size=out_size
+    train_tf = lambda im, bx, lb, vd, key, content=None: destr_train_transform(
+        im, bx, lb, vd, key, content, out_size=out_size
     )
-    eval_tf = lambda im, bx, lb, vd: destr_eval_transform(
-        im, bx, lb, vd, resize_to=canvas, out_size=out_size
+    eval_tf = lambda im, bx, lb, vd, content=None: destr_eval_transform(
+        im, bx, lb, vd, content, resize_to=canvas, out_size=out_size
     )
 
     last_map = 0.0

@@ -78,6 +78,7 @@ def make_destr_train_step(model, tx, cfg: TrainConfig) -> Callable:
         (model_out, det_out), mutated = model.apply(
             variables,
             batch["images"],
+            valid_mask=batch.get("pixel_valid"),  # letterbox padding mask
             train=True,
             rngs={"dropout": rng},
             mutable=["batch_stats"],
@@ -114,7 +115,10 @@ def make_destr_eval_step(model, cfg: TrainConfig) -> Callable:
     @jax.jit
     def eval_step(state: TrainState, batch: dict):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
-        model_out, det_out = model.apply(variables, batch["images"], train=False)
+        model_out, det_out = model.apply(
+            variables, batch["images"],
+            valid_mask=batch.get("pixel_valid"), train=False,
+        )
         targets = _destr_targets(batch)
         rows_model, rows_det = _match_pair(model_out, det_out, targets)
         l_model = set_criterion(model_out, targets, rows=rows_model)
