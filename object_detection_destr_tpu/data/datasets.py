@@ -36,10 +36,13 @@ __all__ = [
     "VOC_CLASSES",
 ]
 
+# Reference class->index map, NOT alphabetical (src/dataset/dataset.py:76-97):
+# person=0, bird=1, ... — kept verbatim so label indices (and therefore
+# checkpoints and per-class metric ordering) are interchangeable.
 VOC_CLASSES = (
-    "aeroplane", "bicycle", "bird", "boat", "bottle", "bus", "car", "cat",
-    "chair", "cow", "diningtable", "dog", "horse", "motorbike", "person",
-    "pottedplant", "sheep", "sofa", "train", "tvmonitor",
+    "person", "bird", "cat", "cow", "dog", "horse", "sheep", "aeroplane",
+    "bicycle", "boat", "bus", "car", "motorbike", "train", "bottle", "chair",
+    "diningtable", "pottedplant", "sofa", "tvmonitor",
 )
 
 
@@ -154,9 +157,22 @@ class WiderFaceDetection:
 
 
 class VocDetection:
-    """Pascal VOC from a VOCdevkit tree."""
+    """Pascal VOC from a VOCdevkit tree.
 
-    def __init__(self, root: str, split: str = "train", year: str = "2007"):
+    ``keep_difficult=True`` (default) matches the reference, which parses
+    every ``<object>`` regardless of the ``<difficult>`` flag
+    (src/dataset/dataset.py:105-125). Standard VOC evaluation ignores
+    difficult objects — pass ``keep_difficult=False`` for that protocol.
+    """
+
+    def __init__(
+        self,
+        root: str,
+        split: str = "train",
+        year: str = "2007",
+        keep_difficult: bool = True,
+    ):
+        self.keep_difficult = keep_difficult
         # REFCOMPAT: split "valid" -> image set "trainval" (dataset.py:69-71)
         image_set = {"train": "train", "valid": "trainval", "val": "val"}.get(
             split, split
@@ -179,8 +195,10 @@ class VocDetection:
         tree = ET.parse(self.annos[idx])
         boxes, labels = [], []
         for obj in tree.findall("object"):
-            name = obj.findtext("name")
+            name = (obj.findtext("name") or "").lower().strip()
             if name not in self.class_to_idx:
+                continue
+            if not self.keep_difficult and (obj.findtext("difficult") or "0").strip() == "1":
                 continue
             bb = obj.find("bndbox")
             x1 = float(bb.findtext("xmin")) / w

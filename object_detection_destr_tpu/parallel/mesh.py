@@ -10,11 +10,14 @@ from the shardings alone — there is no NCCL/MPI analog to write.
 
 from __future__ import annotations
 
+import logging
 from typing import Optional, Sequence
 
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+logger = logging.getLogger(__name__)
 
 __all__ = [
     "make_mesh",
@@ -27,9 +30,22 @@ __all__ = [
 
 def auto_mesh(batch_size: int) -> "Mesh":
     """Mesh over the largest device count that divides ``batch_size``
-    (a batch must split evenly across the 'data' axis)."""
+    (a batch must split evenly across the 'data' axis).
+
+    When ``batch_size`` is not divisible by the device count, a smaller
+    mesh is chosen and the leftover devices sit idle — that is a silent
+    throughput loss, so it is logged loudly (e.g. batch 12 on 8 devices
+    -> 6-device mesh, 2 idle).
+    """
     n = len(jax.devices())
     num_data = max(d for d in range(1, n + 1) if batch_size % d == 0)
+    if num_data < n:
+        logger.warning(
+            "auto_mesh: batch_size=%d is not divisible by the %d available "
+            "devices; using a %d-device data mesh and leaving %d device(s) "
+            "idle. Pick a batch size divisible by %d for full utilization.",
+            batch_size, n, num_data, n - num_data, n,
+        )
     return make_mesh(num_data=num_data, num_model=1)
 
 

@@ -188,7 +188,7 @@ def test_voc_reader(tmp_path):
     img, boxes, labels = ds[0]
     assert img.shape == (50, 100, 3)
     np.testing.assert_allclose(boxes[0], [0.1, 0.1, 0.6, 0.9], atol=1e-6)
-    assert labels[0] == 11  # dog
+    assert labels[0] == 4  # dog — reference map order (src/dataset/dataset.py:76-97)
 
 
 def test_coco_reader(tmp_path):
@@ -211,3 +211,64 @@ def test_coco_reader(tmp_path):
     assert img.shape == (80, 40, 3)
     np.testing.assert_allclose(boxes[0], [0.1, 0.1, 0.6, 0.6], atol=1e-6)
     assert labels[0] == 0 and ds.num_classes == 2
+
+
+def test_widerface_reader_format_edge_cases(tmp_path):
+    """Known WIDER annotation quirks: zero-size (invalid) rows inside a
+    nonzero count, extra attribute columns, and the invalid-flag column
+    (kept when the box has area — matches the reference, which filters only
+    degenerate boxes via filter_flat_box)."""
+    root = tmp_path
+    (root / "wider_face_split").mkdir()
+    img_dir = root / "WIDER_train" / "images" / "2--Demo"
+    img_dir.mkdir(parents=True)
+    from PIL import Image
+
+    Image.fromarray(np.zeros((40, 60, 3), np.uint8)).save(img_dir / "b.jpg")
+    ann = "\n".join(
+        [
+            "2--Demo/b.jpg",
+            "3",
+            "6 8 12 10 0 0 0 1 0 0",   # invalid-flag set, box has area: kept
+            "0 0 0 0 0 0 0 0 0 0",      # zero-size row inside count=3: dropped
+            "30 20 18 16 2 0 1 0 1 0",  # blur/occlusion attrs nonzero: kept
+            "",
+        ]
+    )
+    (root / "wider_face_split" / "wider_face_train_bbx_gt.txt").write_text(ann)
+    ds = WiderFaceDetection(str(root), "train")
+    assert len(ds) == 1
+    _, boxes, labels = ds[0]
+    assert boxes.shape == (2, 4)
+    assert (labels == 0).all()
+
+
+def test_voc_difficult_flag(tmp_path):
+    """keep_difficult=True (reference behavior) keeps difficult objects;
+    False drops them (standard VOC eval protocol)."""
+    base = tmp_path / "VOCdevkit" / "VOC2007"
+    for sub in ["ImageSets/Main", "Annotations", "JPEGImages"]:
+        (base / sub).mkdir(parents=True)
+    (base / "ImageSets" / "Main" / "train.txt").write_text("000002\n")
+    from PIL import Image
+
+    Image.fromarray(np.zeros((50, 100, 3), np.uint8)).save(
+        base / "JPEGImages" / "000002.jpg"
+    )
+    root_el = ET.Element("annotation")
+    for name, difficult, x1 in [("Dog ", "0", 10), ("person", "1", 30)]:
+        obj = ET.SubElement(root_el, "object")
+        ET.SubElement(obj, "name").text = name  # case/space: ref lower().strip()s
+        ET.SubElement(obj, "difficult").text = difficult
+        bb = ET.SubElement(obj, "bndbox")
+        for tag, v in [("xmin", x1), ("ymin", 5), ("xmax", x1 + 20), ("ymax", 45)]:
+            ET.SubElement(bb, tag).text = str(v)
+    ET.ElementTree(root_el).write(base / "Annotations" / "000002.xml")
+
+    ds = VocDetection(str(tmp_path), "train")  # reference behavior
+    _, boxes, labels = ds[0]
+    assert labels.tolist() == [4, 0]  # dog=4, person=0 in the reference map
+
+    ds_eval = VocDetection(str(tmp_path), "train", keep_difficult=False)
+    _, boxes, labels = ds_eval[0]
+    assert labels.tolist() == [4]
