@@ -25,6 +25,7 @@ __all__ = [
     "vgg16_params_from_torch",
     "destr_encoder_params_from_torch",
     "destr_decoder_params_from_torch",
+    "destr_variables_from_torch",
 ]
 
 
@@ -191,3 +192,98 @@ def vgg16_params_from_torch(sd: Mapping[str, Any]) -> dict:
             "bias": _np(sd[f"{prefix}{torch_i}.bias"]),
         }
     return params
+
+
+def _conv2d(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {
+        "kernel": _conv_kernel(sd[f"{prefix}.weight"]),
+        "bias": _np(sd[f"{prefix}.bias"]),
+    }
+
+
+def _strip(sd: Mapping[str, Any], prefix: str) -> dict:
+    return {k[len(prefix):]: v for k, v in sd.items() if k.startswith(prefix)}
+
+
+def destr_variables_from_torch(
+    sd: Mapping[str, Any],
+    num_encoder_blocks: int = 6,
+    num_decoder_blocks: int = 6,
+    stage_sizes: Sequence[int] = (3, 4, 6, 3),
+) -> dict:
+    """Map a FULL reference ``ObjDetSplitTransformer`` state_dict
+    (model.py:14-71) onto this model's flax variables
+    ``{"params": ..., "batch_stats": ...}`` — i.e. load a reference DESTR
+    checkpoint wholesale.
+
+    Component prefixes in the reference state dict:
+      ``_backbone.0.body.*``  ResNet-50 (Joiner[0] -> BackboneBase.body)
+      ``_encoder.*`` / ``_decoder.*``  transformer stacks
+      ``_cls_embed / _bbox_embed / _reg_ffn``  shared heads (our ``pos_head``
+      is the reference's ``_reg_ffn``, model.py:40-50)
+      ``_reduce_dim``  1x1 conv 2048 -> C (model.py:60-65)
+      ``_mini_detector.*``  conv stacks (see below)
+      ``_pos_scale``  DEAD code (declared model.py:51-57, never called —
+      forward uses ``_encoder._pos_scale``, model.py:90) — dropped.
+
+    Mini-detector BN un-scrambling: the reference appends the BN layers of
+    the reg/pos stacks into ``_cls_conv`` (mini_detector.py:45,58 — SURVEY
+    §2.1 #6 defect), so ``_cls_conv`` holds 4x(conv,BN) at indices 0..7 plus
+    the reg-stack BNs at 8..11 and pos-stack BNs at 12..15, while
+    ``_reg_conv``/``_pos_conv`` hold bare convs. This converter routes those
+    misplaced BNs back to the stacks they were constructed for (our fixed
+    wiring, REFCOMPAT #1). At a fresh init every BN is identity in eval mode,
+    so converted-init eval forward matches the reference exactly. For a
+    *trained* reference checkpoint the mapping stays well-defined but is only
+    approximate around the mini-detector: the reference executed the
+    misplaced BNs inside its cls path (iterating ``_cls_conv`` runs all 16
+    modules), so their trained statistics reflect cls activations, not the
+    reg/pos stacks they now normalize.
+    """
+    params: dict = {
+        "backbone": resnet_params_from_torch(
+            _strip(sd, "_backbone.0.body."), stage_sizes
+        ),
+        "encoder": destr_encoder_params_from_torch(
+            _strip(sd, "_encoder."), num_encoder_blocks
+        ),
+        "decoder": destr_decoder_params_from_torch(
+            _strip(sd, "_decoder."), num_decoder_blocks
+        ),
+        "cls_embed": _linear(sd, "_cls_embed"),
+        "bbox_embed": {
+            "fc0": _linear(sd, "_bbox_embed.0"),
+            "fc1": _linear(sd, "_bbox_embed.2"),
+        },
+        "pos_head": {
+            "fc0": _linear(sd, "_reg_ffn.0"),
+            "fc1": _linear(sd, "_reg_ffn.2"),
+            "fc2": _linear(sd, "_reg_ffn.4"),
+        },
+        "reduce_dim": _conv2d(sd, "_reduce_dim"),
+    }
+
+    md = "_mini_detector"
+    # (our stack name, conv source prefix fn, BN index in _cls_conv)
+    stacks = (
+        ("cls_conv", lambda i: f"{md}._cls_conv.{2 * i}", lambda i: 2 * i + 1),
+        ("reg_conv", lambda i: f"{md}._reg_conv.{i}", lambda i: 8 + i),
+        ("pos_conv", lambda i: f"{md}._pos_conv.{i}", lambda i: 12 + i),
+    )
+    mini_params: dict = {}
+    mini_stats: dict = {}
+    for ours, conv_src, bn_idx in stacks:
+        p: dict = {}
+        s: dict = {}
+        for i in range(4):
+            p[f"conv{i}"] = _conv2d(sd, conv_src(i))
+            bn = f"{md}._cls_conv.{bn_idx(i)}"
+            p[f"bn{i}"] = {"scale": _np(sd[f"{bn}.weight"]),
+                           "bias": _np(sd[f"{bn}.bias"])}
+            s[f"bn{i}"] = {"mean": _np(sd[f"{bn}.running_mean"]),
+                           "var": _np(sd[f"{bn}.running_var"])}
+        mini_params[ours] = p
+        mini_stats[ours] = s
+    params["mini_detector"] = mini_params
+
+    return {"params": params, "batch_stats": {"mini_detector": mini_stats}}

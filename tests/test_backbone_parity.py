@@ -24,90 +24,18 @@ from object_detection_destr_tpu.models.convert import (  # noqa: E402
 from object_detection_destr_tpu.models.resnet import ResNet  # noqa: E402
 from object_detection_destr_tpu.models.ssd.model import VGG16Features  # noqa: E402
 
+import sys  # noqa: E402
+
+if "/root/repo" not in sys.path:
+    sys.path.insert(0, "/root/repo")
+
 nn = torch.nn
 
 
-class _Bottleneck(nn.Module):
-    """torchvision Bottleneck (v1.5: stride on the 3x3), expansion 4."""
-
-    def __init__(self, inplanes, planes, stride=1, dilation=1, downsample=None):
-        super().__init__()
-        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
-        self.bn1 = nn.BatchNorm2d(planes)
-        self.conv2 = nn.Conv2d(
-            planes, planes, 3, stride=stride, padding=dilation, dilation=dilation,
-            bias=False,
-        )
-        self.bn2 = nn.BatchNorm2d(planes)
-        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
-        self.bn3 = nn.BatchNorm2d(planes * 4)
-        self.relu = nn.ReLU()
-        self.downsample = downsample
-
-    def forward(self, x):
-        identity = self.downsample(x) if self.downsample is not None else x
-        y = self.relu(self.bn1(self.conv1(x)))
-        y = self.relu(self.bn2(self.conv2(y)))
-        y = self.bn3(self.conv3(y))
-        return self.relu(y + identity)
-
-
-class _TorchResNet(nn.Module):
-    """Plain-torch ResNet with torchvision's state-dict key layout.
-
-    Mirrors torchvision's ``_make_layer`` semantics, including
-    ``replace_stride_with_dilation`` for layer4: the dilating stage keeps
-    stride 1, its first block runs conv2 at the *previous* dilation (1) and
-    the remaining blocks at dilation 2.
-    """
-
-    def __init__(self, stage_sizes=(3, 4, 6, 3), dilate_l4=False):
-        super().__init__()
-        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
-        self.bn1 = nn.BatchNorm2d(64)
-        self.relu = nn.ReLU()
-        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
-        inplanes, dilation = 64, 1
-        for stage, (blocks, planes) in enumerate(
-            zip(stage_sizes, (64, 128, 256, 512)), start=1
-        ):
-            stride = 1 if stage == 1 else 2
-            prev_dilation = dilation
-            if dilate_l4 and stage == 4:
-                dilation *= stride
-                stride = 1
-            downsample = nn.Sequential(
-                nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
-                nn.BatchNorm2d(planes * 4),
-            )
-            layers = [_Bottleneck(inplanes, planes, stride, prev_dilation, downsample)]
-            inplanes = planes * 4
-            layers += [
-                _Bottleneck(inplanes, planes, 1, dilation) for _ in range(blocks - 1)
-            ]
-            setattr(self, f"layer{stage}", nn.Sequential(*layers))
-        self.fc = nn.Linear(2048, 1000)
-
-    def forward(self, x):
-        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
-        out = {}
-        for stage in (1, 2, 3, 4):
-            x = getattr(self, f"layer{stage}")(x)
-            out[f"layer{stage}"] = x
-        return out
-
-
-def _torch_vgg16_features():
-    """nn.Sequential matching ``vgg16().features[:23]`` key layout."""
-    cfg = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512)
-    layers, in_c = [], 3
-    for v in cfg:
-        if v == "M":
-            layers.append(nn.MaxPool2d(2, 2))
-        else:
-            layers += [nn.Conv2d(in_c, v, 3, padding=1), nn.ReLU()]
-            in_c = v
-    return nn.Sequential(*layers)
+from tools.ref_torch_models import (  # noqa: E402
+    TorchResNet as _TorchResNet,
+    torch_vgg16_features as _torch_vgg16_features,
+)
 
 
 def _randomize_bn_stats(model, seed):

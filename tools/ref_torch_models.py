@@ -1,0 +1,241 @@
+"""Plain-torch rebuilds of the torchvision models the reference loads, plus a
+fake ``torchvision`` module so the FULL reference model
+(``/root/reference/src/model/model.py``) can be instantiated in this
+environment (no torchvision, no network) for whole-model parity tests and
+reference-vs-repo A/B training runs.
+
+``TorchResNet`` reproduces ``torchvision.models.resnet50/101`` exactly —
+state-dict key layout, v1.5 stride placement, ``replace_stride_with_dilation``
+— and additionally honors the ``norm_layer`` argument the reference passes
+(its own ``FrozenBatchNorm2d``, backbone.py:135-143).
+``torch_vgg16_features`` matches ``vgg16().features[:23]``
+(model_ssd.py:141-148).
+
+This file is validation tooling, not framework code: the framework itself
+never needs torch.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+from collections import OrderedDict
+
+import torch
+
+nn = torch.nn
+
+__all__ = [
+    "TorchResNet",
+    "torch_vgg16_features",
+    "install_fake_torchvision",
+    "build_reference_destr",
+    "build_reference_ssd",
+]
+
+
+class _Bottleneck(nn.Module):
+    """torchvision Bottleneck (v1.5: stride on the 3x3), expansion 4."""
+
+    def __init__(self, inplanes, planes, stride=1, dilation=1, downsample=None,
+                 norm_layer=None):
+        super().__init__()
+        norm_layer = norm_layer or nn.BatchNorm2d
+        self.conv1 = nn.Conv2d(inplanes, planes, 1, bias=False)
+        self.bn1 = norm_layer(planes)
+        self.conv2 = nn.Conv2d(
+            planes, planes, 3, stride=stride, padding=dilation, dilation=dilation,
+            bias=False,
+        )
+        self.bn2 = norm_layer(planes)
+        self.conv3 = nn.Conv2d(planes, planes * 4, 1, bias=False)
+        self.bn3 = norm_layer(planes * 4)
+        self.relu = nn.ReLU()
+        self.downsample = downsample
+
+    def forward(self, x):
+        identity = self.downsample(x) if self.downsample is not None else x
+        y = self.relu(self.bn1(self.conv1(x)))
+        y = self.relu(self.bn2(self.conv2(y)))
+        y = self.bn3(self.conv3(y))
+        return self.relu(y + identity)
+
+
+class TorchResNet(nn.Module):
+    """Plain-torch ResNet with torchvision's state-dict key layout and
+    ``_make_layer`` semantics (incl. ``replace_stride_with_dilation`` for
+    layer4: the dilating stage keeps stride 1, its first block runs conv2 at
+    the *previous* dilation and the remaining blocks at dilation 2)."""
+
+    def __init__(self, stage_sizes=(3, 4, 6, 3), dilate_l4=False, norm_layer=None):
+        super().__init__()
+        norm_layer = norm_layer or nn.BatchNorm2d
+        self.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        self.bn1 = norm_layer(64)
+        self.relu = nn.ReLU()
+        self.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        inplanes, dilation = 64, 1
+        for stage, (blocks, planes) in enumerate(
+            zip(stage_sizes, (64, 128, 256, 512)), start=1
+        ):
+            stride = 1 if stage == 1 else 2
+            prev_dilation = dilation
+            if dilate_l4 and stage == 4:
+                dilation *= stride
+                stride = 1
+            downsample = nn.Sequential(
+                nn.Conv2d(inplanes, planes * 4, 1, stride=stride, bias=False),
+                norm_layer(planes * 4),
+            )
+            layers = [
+                _Bottleneck(inplanes, planes, stride, prev_dilation, downsample,
+                            norm_layer)
+            ]
+            inplanes = planes * 4
+            layers += [
+                _Bottleneck(inplanes, planes, 1, dilation, norm_layer=norm_layer)
+                for _ in range(blocks - 1)
+            ]
+            setattr(self, f"layer{stage}", nn.Sequential(*layers))
+        self.fc = nn.Linear(2048, 1000)
+
+    def forward(self, x):
+        x = self.maxpool(self.relu(self.bn1(self.conv1(x))))
+        out = {}
+        for stage in (1, 2, 3, 4):
+            x = getattr(self, f"layer{stage}")(x)
+            out[f"layer{stage}"] = x
+        return out
+
+
+def torch_vgg16_features():
+    """``nn.Sequential`` matching ``vgg16().features[:23]`` key layout
+    (conv1_1 .. conv4_3 + ReLU; the slice the reference keeps)."""
+    cfg = (64, 64, "M", 128, 128, "M", 256, 256, 256, "M", 512, 512, 512)
+    layers, in_c = [], 3
+    for v in cfg:
+        if v == "M":
+            layers.append(nn.MaxPool2d(2, 2))
+        else:
+            layers += [nn.Conv2d(in_c, v, 3, padding=1), nn.ReLU()]
+            in_c = v
+    return nn.Sequential(*layers)
+
+
+class _IntermediateLayerGetter(nn.ModuleDict):
+    """Reimplementation of ``torchvision.models._utils.IntermediateLayerGetter``
+    (runs named children in order up to the last requested layer, collecting
+    renamed outputs)."""
+
+    def __init__(self, model, return_layers):
+        orig = dict(return_layers)
+        layers = OrderedDict()
+        remaining = dict(return_layers)
+        for name, module in model.named_children():
+            if not remaining:
+                break
+            layers[name] = module
+            remaining.pop(name, None)
+        super().__init__(layers)
+        self.return_layers = orig
+
+    def forward(self, x):
+        out = OrderedDict()
+        for name, module in self.items():
+            x = module(x)
+            if name in self.return_layers:
+                out[self.return_layers[name]] = x
+        return out
+
+
+def install_fake_torchvision():
+    """Register a minimal ``torchvision`` into ``sys.modules`` exposing
+    exactly what ``/root/reference/src/model`` imports: ``models.resnet50/
+    resnet101`` (honoring ``replace_stride_with_dilation`` and ``norm_layer``,
+    ignoring ``weights`` — no network here), ``models.vgg16``,
+    ``models.{ResNet50_Weights,VGG16_Weights}``, and
+    ``models._utils.IntermediateLayerGetter``."""
+    if "torchvision" in sys.modules:
+        return sys.modules["torchvision"]
+
+    tv = types.ModuleType("torchvision")
+    models = types.ModuleType("torchvision.models")
+    _utils = types.ModuleType("torchvision.models._utils")
+
+    def _resnet(stage_sizes):
+        def build(*, replace_stride_with_dilation=None, weights=None,
+                  norm_layer=None, **kwargs):
+            del weights, kwargs  # no pretrained download in this environment
+            dilate = bool(
+                replace_stride_with_dilation and replace_stride_with_dilation[2]
+            )
+            return TorchResNet(stage_sizes, dilate_l4=dilate, norm_layer=norm_layer)
+
+        return build
+
+    class _Weights:
+        DEFAULT = None
+
+    class _VGG(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.features = torch_vgg16_features()
+
+    models.resnet50 = _resnet((3, 4, 6, 3))
+    models.resnet101 = _resnet((3, 4, 23, 3))
+    models.vgg16 = lambda weights=None, **kw: _VGG()
+    models.ResNet50_Weights = _Weights
+    models.ResNet101_Weights = _Weights
+    models.VGG16_Weights = _Weights
+    models._utils = _utils
+    _utils.IntermediateLayerGetter = _IntermediateLayerGetter
+    tv.models = models
+
+    sys.modules["torchvision"] = tv
+    sys.modules["torchvision.models"] = models
+    sys.modules["torchvision.models._utils"] = _utils
+    return tv
+
+
+def _ensure_reference_importable():
+    install_fake_torchvision()
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+
+def build_reference_destr(args):
+    """Instantiate the FULL reference ``ObjDetSplitTransformer`` via its own
+    ``build_model(args)`` (model.py:136-154) against the fake torchvision.
+    ``args`` needs: hidden_dim(=256: the sine pos embed is hardcoded to
+    N_steps=128 -> 256-d, position_encoding_cdetr.py:144-150),
+    num_encoder_blocks, num_decoder_blocks, top_k, num_cls, lr_backbone,
+    resume(False)."""
+    _ensure_reference_importable()
+    from src.model.model import build_model
+
+    return build_model(args)
+
+
+def build_reference_ssd(args):
+    """Instantiate the reference ``SingleShotDetector`` (model_ssd.py:152-155).
+    ``args`` needs: num_cls."""
+    _ensure_reference_importable()
+    from src.model.model_ssd import build_model
+
+    return build_model(args)
+
+
+def zero_reference_dropout(model):
+    """Make a reference model deterministic for parity/AB runs: zero every
+    ``nn.Dropout.p`` AND the defective in-forward dropout probability of the
+    reference's ``SelfAttention`` (self_attention.py:40 constructs a fresh
+    ``nn.Dropout`` inside ``forward``, so ``.eval()`` alone cannot disable
+    it — REFCOMPAT #2)."""
+    for mod in model.modules():
+        if isinstance(mod, nn.Dropout):
+            mod.p = 0.0
+        if hasattr(mod, "_dropout_prob"):
+            mod._dropout_prob = 0.0
+        if isinstance(mod, nn.MultiheadAttention):
+            mod.dropout = 0.0
+    return model
