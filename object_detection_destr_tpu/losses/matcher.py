@@ -95,7 +95,12 @@ def hungarian_match(
         (duplicate-free; meaningful only where ``targets["valid"]``).
     """
     cost = hungarian_cost_matrix(outputs, targets, cost_class, cost_bbox, cost_ciou)
-    return batched_assignment(cost, targets["valid"], eps_frac=eps_frac, max_iters=max_iters)
+    # no-grad by contract (reference matcher.py:158 @torch.no_grad); zeroed
+    # tangents also keep autodiff out of the Pallas solver (no JVP rule)
+    return batched_assignment(
+        jax.lax.stop_gradient(cost), targets["valid"],
+        eps_frac=eps_frac, max_iters=max_iters,
+    )
 
 
 def decode_ssd_boxes(

@@ -169,6 +169,14 @@ def batched_assignment(
 ) -> jnp.ndarray:
     """Batched min-cost assignment of target columns to query rows.
 
+    On TPU this dispatches to the single-launch Pallas kernel
+    (ops/pallas/auction.py): the ``vmap``-of-``while_loop`` form below
+    compiles to ~30 tiny fusions per bidding round and measured ~42 ms/step
+    of pure launch overhead in the b8/640 train step (BASELINE.md r2
+    profile); the kernel runs the whole solve in VMEM in one launch.
+    The XLA path remains the CPU/interpret reference implementation.
+    Disable the kernel with OBJDET_NO_PALLAS_MATCHER=1.
+
     Args:
         cost: (B, N, M) float cost matrices, N >= M.
         col_valid: (B, M) bool — True for real targets.
@@ -178,6 +186,16 @@ def batched_assignment(
         (in-range and duplicate-free everywhere; meaningful only where
         ``col_valid``).
     """
+    import os
+
+    if jax.default_backend() == "tpu" and not os.environ.get(
+        "OBJDET_NO_PALLAS_MATCHER"
+    ):
+        from .pallas.auction import auction_assignment_pallas
+
+        return auction_assignment_pallas(
+            cost, col_valid, eps_frac=eps_frac, max_iters=max_iters
+        )
     return jax.vmap(lambda c, v: _auction_single(c, v, eps_frac, max_iters))(
         cost, col_valid
     )

@@ -63,3 +63,45 @@ def trace_steps(profile_dir: Optional[str]) -> Iterator[None]:
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def device_step_seconds(trace_dir: str) -> list:
+    """Parse a ``jax.profiler`` Chrome-trace export and return the DEVICE
+    duration (seconds) of each profiled step (the TPU 'Steps' track).
+
+    This is the tamper-proof timing source on the pooled/tunneled chip:
+    wall-clock chained-step timing measured physically impossible throughput
+    there (r2 profile found ~100 ms/step of device-busy time where the wall
+    clock claimed ~11 ms — the relay reports completions early even for
+    donated chains; BASELINE.md r2 notes), while the trace records what the
+    hardware actually executed.
+    """
+    import glob
+    import gzip
+    import json
+
+    traces = sorted(
+        glob.glob(f"{trace_dir}/**/*.trace.json.gz", recursive=True)
+    )
+    if not traces:
+        return []
+    with gzip.open(traces[-1], "rt") as f:
+        trace = json.load(f)
+    pid_names, tid_names = {}, {}
+    for ev in trace.get("traceEvents", []):
+        if ev.get("ph") == "M" and ev.get("name") == "process_name":
+            pid_names[ev["pid"]] = ev.get("args", {}).get("name", "")
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            tid_names[(ev["pid"], ev["tid"])] = ev.get("args", {}).get("name", "")
+    device_pids = {
+        p for p, n in pid_names.items() if "TPU" in n or "device" in n.lower()
+    }
+    steps = [
+        float(ev["dur"]) / 1e6
+        for ev in trace.get("traceEvents", [])
+        if ev.get("ph") == "X"
+        and ev.get("pid") in device_pids
+        and tid_names.get((ev["pid"], ev["tid"])) == "Steps"
+        and ev.get("dur")
+    ]
+    return steps

@@ -67,7 +67,11 @@ def _match_pair(model_out: dict, det_out: dict, targets: dict):
     )
     cost = jnp.concatenate([pad(c1), pad(c2)], axis=0)
     valid2 = jnp.concatenate([targets["valid"]] * 2, axis=0)
-    rows = jax.lax.stop_gradient(batched_assignment(cost, valid2))
+    # stop_gradient on the INPUT, not just the result: the matcher is
+    # non-differentiable by construction (reference uses @torch.no_grad,
+    # matcher.py:158), and zeroing tangents here keeps autodiff from trying
+    # to linearize through the solver (the Pallas kernel has no JVP rule)
+    rows = batched_assignment(jax.lax.stop_gradient(cost), valid2)
     b = c1.shape[0]
     return rows[:b], rows[b:]
 

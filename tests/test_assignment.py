@@ -82,3 +82,50 @@ def test_square_permutation():
     sp = cost[r_sp, c_sp].sum()
     got = _total_cost(cost, rows, np.ones(12, bool))
     assert got <= sp + 0.1 * 12
+
+
+@pytest.mark.parametrize("n,m,seed", [(25, 8, 0), (400, 32, 1), (50, 50, 2)])
+def test_pallas_kernel_matches_scipy_total_cost(n, m, seed):
+    """The single-launch Pallas auction (interpret mode on CPU) solves to
+    the same eps-optimality as the XLA reference path."""
+    from object_detection_destr_tpu.ops.pallas.auction import (
+        auction_assignment_pallas,
+    )
+
+    rng = np.random.default_rng(seed)
+    b = 3
+    cost = (rng.normal(size=(b, n, m)) * 3).astype(np.float32)
+    valid = rng.uniform(size=(b, m)) > 0.2
+    rows = np.asarray(
+        auction_assignment_pallas(jnp.asarray(cost), jnp.asarray(valid))
+    )
+    for i in range(b):
+        v = valid[i]
+        sel = rows[i][v]
+        assert len(set(sel.tolist())) == len(sel)  # duplicate-free
+        assert (sel >= 0).all() and (sel < n).all()
+        r_sp, c_sp = linear_sum_assignment(cost[i][:, v])
+        sp = cost[i][:, v][r_sp, c_sp].sum()
+        got = _total_cost(cost[i], rows[i], v)
+        assert got <= sp + 0.05 * abs(sp) + 0.1
+
+
+def test_pallas_kernel_padding_and_blocks():
+    """Non-multiple-of-128 N and batch sizes hitting each block-size branch."""
+    from object_detection_destr_tpu.ops.pallas.auction import (
+        auction_assignment_pallas,
+    )
+
+    rng = np.random.default_rng(3)
+    for b in (1, 2, 6):
+        cost = (rng.normal(size=(b, 37, 5)) * 2).astype(np.float32)
+        valid = np.ones((b, 5), bool)
+        rows = np.asarray(
+            auction_assignment_pallas(jnp.asarray(cost), jnp.asarray(valid))
+        )
+        for i in range(b):
+            assert len(set(rows[i].tolist())) == 5
+            r_sp, c_sp = linear_sum_assignment(cost[i])
+            sp = cost[i][r_sp, c_sp].sum()
+            got = _total_cost(cost[i], rows[i], valid[i])
+            assert got <= sp + 0.05 * abs(sp) + 0.1

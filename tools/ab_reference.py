@@ -1,0 +1,355 @@
+"""Reference-vs-repo accuracy A/B at miniature scale (BASELINE.json north
+star, VERDICT r1 #5).
+
+Protocol — everything that can be shared IS shared:
+  * one deterministic synthetic detection dataset (bright boxes on noise,
+    single class, WIDER-like), identical pixels/targets on both sides;
+  * identical model config, identical *initial weights* (the reference
+    model's fresh torch init converted via ``destr_variables_from_torch``);
+  * identical optimizer (AdamW, same lr/wd, frozen backbone both sides),
+    identical loss wiring (class 0.5 / ciou 0.5, 0.7*model + 0.3*det),
+    identical batch order, dropout zeroed on both sides;
+  * the REFERENCE is trained by its own ``train_one_epoch``
+    (src/train/train.py:141-223) with its own SetCriterion /
+    HungarianMatcherWoL1 (intended config, REFCOMPAT #6) — not a rewrite;
+  * final eval: both models' predictions scored by the REFERENCE
+    ``MeanAveragePrecision`` (src/utils/criterion.py:92-193).
+
+Run:  python tools/ab_reference.py [--epochs 6] [--train-size 160] ...
+Emits one JSON line; record the table in BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+IMAGENET_MEAN = np.asarray([0.485, 0.456, 0.406], np.float32)
+IMAGENET_STD = np.asarray([0.229, 0.224, 0.225], np.float32)
+
+
+def build_shared_data(n, image_size, max_boxes, seed):
+    """(images_norm (N,S,S,3) f32, list[ (K_i,4) xyxy ], T_max)."""
+    from object_detection_destr_tpu.data.datasets import SyntheticDetection
+
+    ds = SyntheticDetection(
+        num_samples=n, image_size=image_size, max_boxes=max_boxes, seed=seed
+    )
+    images, boxes = [], []
+    for i in range(n):
+        img, bx, _ = ds[i]
+        images.append((img.astype(np.float32) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD)
+        boxes.append(bx)
+    return np.stack(images), boxes
+
+
+def pad_targets(box_list, t_max):
+    n = len(box_list)
+    boxes = np.zeros((n, t_max, 4), np.float32)
+    valid = np.zeros((n, t_max), bool)
+    for i, bx in enumerate(box_list):
+        k = min(len(bx), t_max)
+        boxes[i, :k] = bx[:k]
+        valid[i, :k] = True
+    labels = np.zeros((n, t_max), np.int32)
+    return boxes, labels, valid
+
+
+def epoch_orders(n, batch, epochs, seed=123):
+    """Identical batch order for both sides."""
+    rng = np.random.default_rng(seed)
+    orders = []
+    for _ in range(epochs):
+        perm = rng.permutation(n)
+        usable = (n // batch) * batch
+        orders.append(perm[:usable].reshape(-1, batch))
+    return orders
+
+
+# ---------------------------------------------------------------- reference
+
+
+class _Loader:
+    """Minimal stand-in for DataLoader: iterates prebuilt batches; exposes
+    ``.dataset`` for train_one_epoch's ``len(dataloader.dataset)``."""
+
+    def __init__(self, batches, num_items):
+        self.batches = batches
+        self.dataset = list(range(num_items))
+
+    def __iter__(self):
+        return iter(self.batches)
+
+    def __len__(self):
+        return len(self.batches)
+
+
+def run_reference(args, images, box_list, orders, val_images, val_boxes):
+    import torch
+
+    from tools.ref_torch_models import (
+        _ensure_reference_importable,
+        build_reference_destr,
+        zero_reference_dropout,
+    )
+
+    _ensure_reference_importable()
+    from src.train.train import train_one_epoch
+    from src.utils.criterion import (
+        CompleteIOULoss,
+        MeanAveragePrecision,
+        SetCriterion,
+    )
+    from src.utils.matcher import HungarianMatcherWoL1
+    from src.utils.misc import sigmoid_focal_loss
+
+    class A:
+        hidden_dim = 256
+        num_encoder_blocks = args.blocks
+        num_decoder_blocks = args.blocks
+        top_k = args.top_k
+        num_cls = 2
+        lr_backbone = args.lr_backbone
+        resume = False
+        device = "cpu"
+        batch_size = args.batch
+        set_cost_class = 0.5
+        set_cost_bbox = 0.0
+        set_cost_ciou = 0.5
+
+    torch.manual_seed(args.seed)
+    model = build_reference_destr(A())
+    zero_reference_dropout(model)
+    init_sd = {k: v.clone() for k, v in model.state_dict().items()}
+
+    # the reference's __main__ optimizer (train.py:240-251); with
+    # lr_backbone>0 the reference trains layer2-4 and freezes stem+layer1
+    # (backbone.py:92-99) — our optax param labels mirror exactly
+    other = [p for n_, p in model.named_parameters() if "backbone" not in n_]
+    optim = torch.optim.AdamW(
+        [{"params": model._backbone.parameters(), "lr": A.lr_backbone},
+         {"params": other}],
+        lr=args.lr,
+    )
+    criterion = SetCriterion(
+        num_classes=A.num_cls,
+        matcher=HungarianMatcherWoL1(cost_class=1, cost_ciou=1),
+        loss_fn={
+            "class": sigmoid_focal_loss,
+            "bbox": torch.nn.L1Loss(),
+            "ciou": CompleteIOULoss(),
+        },
+    )
+
+    def batches_for(order):
+        out = []
+        for idx in order:
+            imgs = torch.from_numpy(
+                images[idx].transpose(0, 3, 1, 2)
+            ).contiguous()
+            tgts = tuple(
+                {
+                    "boxes": torch.from_numpy(box_list[i]),
+                    "labels": torch.zeros(len(box_list[i]), dtype=torch.long),
+                }
+                for i in idx
+            )
+            out.append((imgs, tgts))
+        return out
+
+    from torch.utils.tensorboard import SummaryWriter
+
+    writer = SummaryWriter(log_dir="/tmp/ab_ref_runs")
+    loss_weights = {"class": A.set_cost_class, "bbox": A.set_cost_bbox,
+                    "ciou": A.set_cost_ciou}
+
+    # init-parity check: loss of the very first batch from the shared init
+    # (deepcopy so train-mode BN stat updates don't perturb the real model)
+    import copy as _copy
+
+    from src.utils.misc import reduce_dict
+
+    probe = _copy.deepcopy(model)
+    probe.train()
+    with torch.no_grad():
+        imgs0, tgts0 = batches_for(orders[0][:1])[0]
+        mo, do = probe(imgs0)
+        l0 = (reduce_dict(criterion(mo, tgts0), weights=loss_weights) * 0.7
+              + reduce_dict(criterion(do, tgts0), weights=loss_weights) * 0.3)
+    init_loss = float(l0)
+    del probe
+
+    g_step, hist = 0, []
+    t0 = time.time()
+    for ep, order in enumerate(orders):
+        model.train()
+        lm, ld, dur, g_step = train_one_epoch(
+            A, model, criterion, writer=writer, g_step=g_step,
+            loss_weights=loss_weights, optimizer=optim,
+            dataloader=_Loader(batches_for(order), len(order) * args.batch),
+        )
+        hist.append(lm)
+        print(f"[ref] epoch {ep}: loss_model={lm:.4f} loss_det={ld:.4f} "
+              f"({dur:.1f}s)", flush=True)
+
+    # eval with the reference metric
+    metric = MeanAveragePrecision(num_cls=1, num_pred=args.top_k)
+    model.eval()
+    with torch.no_grad():
+        for s in range(0, len(val_images), args.batch):
+            imgs = torch.from_numpy(
+                val_images[s : s + args.batch].transpose(0, 3, 1, 2)
+            ).contiguous()
+            tgts = tuple(
+                {
+                    "boxes": torch.from_numpy(bx),
+                    "labels": torch.zeros(len(bx), dtype=torch.long),
+                }
+                for bx in val_boxes[s : s + args.batch]
+            )
+            out, _ = model(imgs)
+            metric(out, tgts)
+    ref_map = float(metric.compute())
+    return init_sd, ref_map, hist, time.time() - t0, init_loss
+
+
+# --------------------------------------------------------------------- ours
+
+
+def run_ours(args, init_sd, images, box_list, orders, val_images, val_boxes):
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import torch
+
+    from object_detection_destr_tpu.config import DestrConfig, TrainConfig
+    from object_detection_destr_tpu.models.convert import destr_variables_from_torch
+    from object_detection_destr_tpu.models.destr.model import build_destr
+    from object_detection_destr_tpu.train.optim import build_optimizer
+    from object_detection_destr_tpu.train.state import TrainState
+    from object_detection_destr_tpu.train.steps import make_destr_train_step
+
+    sys.path.insert(0, "/root/reference")
+    from src.utils.criterion import MeanAveragePrecision
+
+    cfg = DestrConfig(
+        num_encoder_blocks=args.blocks, num_decoder_blocks=args.blocks,
+        top_k=args.top_k, num_cls=2, dropout=0.0,
+    )
+    train_cfg = TrainConfig(
+        lr=args.lr, lr_backbone=args.lr_backbone, batch_size=args.batch,
+        image_size=args.train_size, max_targets=args.max_boxes,
+    )
+    model = build_destr(cfg)
+    variables = destr_variables_from_torch(init_sd, args.blocks, args.blocks)
+    params = jax.tree.map(jnp.asarray, variables["params"])
+    batch_stats = jax.tree.map(jnp.asarray, variables["batch_stats"])
+    tx = build_optimizer(params, lr=args.lr, lr_backbone=args.lr_backbone)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats,
+        opt_state=tx.init(params), rng=jax.random.key(args.seed),
+    )
+    train_step = make_destr_train_step(model, tx, train_cfg)
+
+    boxes_pad, labels_pad, valid_pad = pad_targets(box_list, args.max_boxes)
+    hist = []
+    t0 = time.time()
+    for ep, order in enumerate(orders):
+        ep_losses = []
+        for idx in order:
+            batch = {
+                "images": jnp.asarray(images[idx]),
+                "boxes": jnp.asarray(boxes_pad[idx]),
+                "labels": jnp.asarray(labels_pad[idx]),
+                "valid": jnp.asarray(valid_pad[idx]),
+            }
+            state, metrics = train_step(state, batch)
+            ep_losses.append(float(metrics["loss_model"]))
+        hist.append(float(np.mean(ep_losses)))
+        print(f"[ours] epoch {ep}: loss_model={hist[-1]:.4f}", flush=True)
+
+    # eval scored by the REFERENCE metric
+    metric = MeanAveragePrecision(num_cls=1, num_pred=args.top_k)
+    apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    for s in range(0, len(val_images), args.batch):
+        out, _ = apply(variables, jnp.asarray(val_images[s : s + args.batch]))
+        tgts = tuple(
+            {
+                "boxes": torch.from_numpy(bx),
+                "labels": torch.zeros(len(bx), dtype=torch.long),
+            }
+            for bx in val_boxes[s : s + args.batch]
+        )
+        metric(
+            {
+                "pred_class": torch.from_numpy(np.asarray(out["pred_class"])),
+                "pred_boxes": torch.from_numpy(np.asarray(out["pred_boxes"])),
+            },
+            tgts,
+        )
+    ours_map = float(metric.compute())
+    return ours_map, hist, time.time() - t0, init_loss
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--train-size", type=int, default=160)
+    ap.add_argument("--num-train", type=int, default=192)
+    ap.add_argument("--num-val", type=int, default=48)
+    ap.add_argument("--max-boxes", type=int, default=6)
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--blocks", type=int, default=2)
+    ap.add_argument("--top_k", type=int, default=12)
+    ap.add_argument("--lr", type=float, default=2e-4)
+    ap.add_argument("--lr-backbone", type=float, default=0.0)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    images, box_list = build_shared_data(
+        args.num_train, args.train_size, args.max_boxes, seed=args.seed
+    )
+    val_images, val_boxes = build_shared_data(
+        args.num_val, args.train_size, args.max_boxes, seed=args.seed + 10_000
+    )
+    orders = epoch_orders(args.num_train, args.batch, args.epochs)
+
+    init_sd, ref_map, ref_hist, ref_t, ref_l0 = run_reference(
+        args, images, box_list, orders, val_images, val_boxes
+    )
+    ours_map, ours_hist, ours_t, ours_l0 = run_ours(
+        args, init_sd, images, box_list, orders, val_images, val_boxes
+    )
+
+    result = {
+        "protocol": {
+            "train": args.num_train, "val": args.num_val,
+            "size": args.train_size, "batch": args.batch,
+            "epochs": args.epochs, "blocks": args.blocks,
+            "top_k": args.top_k, "lr": args.lr,
+        },
+        "init_loss_ref": round(ref_l0, 4),
+        "init_loss_ours": round(ours_l0, 4),
+        "ref_map": round(ref_map, 4),
+        "ours_map": round(ours_map, 4),
+        "gap_pts": round((ours_map - ref_map) * 100, 2),
+        "ref_loss_curve": [round(x, 4) for x in ref_hist],
+        "ours_loss_curve": [round(x, 4) for x in ours_hist],
+        "ref_seconds": round(ref_t, 1),
+        "ours_seconds": round(ours_t, 1),
+    }
+    print(json.dumps(result))
+    return result
+
+
+if __name__ == "__main__":
+    main()

@@ -191,14 +191,52 @@ def install_fake_torchvision():
     _utils.IntermediateLayerGetter = _IntermediateLayerGetter
     tv.models = models
 
-    sys.modules["torchvision"] = tv
-    sys.modules["torchvision.models"] = models
-    sys.modules["torchvision.models._utils"] = _utils
+    # import-time stubs for src/dataset/* (transforms.py:8, dataset.py:4-6):
+    # the classes are referenced/subclassed at module import; the A/B and
+    # parity harnesses never instantiate them.
+    transforms = types.ModuleType("torchvision.transforms")
+    v2 = types.ModuleType("torchvision.transforms.v2")
+
+    class _NeverInstantiated:
+        def __init__(self, *a, **k):
+            raise RuntimeError(
+                "fake torchvision: dataset/transform stubs are import-time "
+                "placeholders only"
+            )
+
+    for name in ("Compose", "ToImage", "ToDtype", "Resize", "CenterCrop",
+                 "Normalize", "RandomResizedCrop", "RandomHorizontalFlip"):
+        setattr(v2, name, type(name, (_NeverInstantiated,), {}))
+    transforms.v2 = v2
+    transforms.ToTensor = type("ToTensor", (_NeverInstantiated,), {})
+    tv.transforms = transforms
+
+    datasets = types.ModuleType("torchvision.datasets")
+    datasets.WIDERFace = type("WIDERFace", (object,), {})
+    datasets.VOCDetection = type("VOCDetection", (object,), {})
+    tv.datasets = datasets
+
+    tv_tensors = types.ModuleType("torchvision.tv_tensors")
+    tv_tensors.BoundingBoxes = type("BoundingBoxes", (_NeverInstantiated,), {})
+    tv_tensors.BoundingBoxFormat = type("BoundingBoxFormat", (), {"XYXY": "XYXY"})
+    tv.tv_tensors = tv_tensors
+
+    for mod in (tv, models, _utils, transforms, v2, datasets, tv_tensors):
+        sys.modules[mod.__name__] = mod
     return tv
 
 
 def _ensure_reference_importable():
     install_fake_torchvision()
+    # the reference annotates with ``torch.Tuple``/``torch.Any``
+    # (dataset.py:36, model.py etc.) — aliases that old torch exposed and
+    # torch 2.x removed; restore them so its modules import
+    import typing
+
+    if not hasattr(torch, "Tuple"):
+        torch.Tuple = typing.Tuple
+    if not hasattr(torch, "Any"):
+        torch.Any = typing.Any
     if "/root/reference" not in sys.path:
         sys.path.insert(0, "/root/reference")
 
