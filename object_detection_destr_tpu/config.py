@@ -39,9 +39,12 @@ class DestrConfig:
     # rematerialize encoder/decoder blocks in the backward pass — trades
     # FLOPs for activation memory (useful at 1333px / large batch)
     remat: bool = False
-    # fused Pallas flash attention for the encoder MHSA (no (S, S) logits in
-    # HBM) — worthwhile at long token counts (dilated 1333px: 7056 tokens)
-    use_flash_attention: bool = False
+    # fused Pallas flash attention for encoder MHSA + decoder cross-attn
+    # (no (S, S) logits in HBM). "auto" (default) enables it on TPU and
+    # disables it elsewhere (CPU interpret mode is test-only and slow);
+    # measured -8% device step time at 640px/b8 and +14% at 7056 tokens
+    # (BASELINE.md). True/False force it.
+    use_flash_attention: bool | str = "auto"
 
 
 @dataclasses.dataclass(frozen=True)

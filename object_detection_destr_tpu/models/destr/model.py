@@ -42,6 +42,11 @@ class DESTR(nn.Module):
     def setup(self):
         cfg = self.config
         c = cfg.hidden_dim
+        use_flash = (
+            jax.default_backend() == "tpu"
+            if cfg.use_flash_attention == "auto"
+            else bool(cfg.use_flash_attention)
+        )
         # computation dtype: backbone/transformer/mini-det convs run in bf16
         # on the MXU; the shared heads stay f32 (box coordinates need more
         # than bf16's ~3 decimal digits), so head inputs upcast automatically
@@ -72,7 +77,7 @@ class DESTR(nn.Module):
             dropout=cfg.dropout,
             dtype=dtype,
             remat=cfg.remat,
-            use_flash=cfg.use_flash_attention,
+            use_flash=use_flash,
             name="encoder",
         )
         self.decoder = Decoder(
@@ -83,7 +88,7 @@ class DESTR(nn.Module):
             lambda_pair=cfg.lambda_pair,
             pair_mode=cfg.pair_mode,
             pair_output_mode=cfg.pair_output_mode,
-            use_flash=cfg.use_flash_attention,
+            use_flash=use_flash,
             dtype=dtype,
             remat=cfg.remat,
             name="decoder",

@@ -69,8 +69,17 @@ def _drop_threshold(rate: float) -> jnp.ndarray:
 def _prng_keep(seed_ref, bh, iq, jk, shape, rate: float) -> jnp.ndarray:
     """Per-tile keep mask from the on-core PRNG. Seeding is a pure function of
     (seed, program coordinates), so forward and both backward kernels draw the
-    identical mask for a tile regardless of their own grid orders."""
-    pltpu.prng_seed(seed_ref[0], bh, iq, jk)
+    identical mask for a tile regardless of their own grid orders.
+
+    Mosaic rejects ``prng_seed`` with more than 2 values, so the three tile
+    coordinates are hash-mixed into one int32 (wrapping int32 multiplies are
+    deterministic on TPU) and passed alongside the user seed."""
+    coord = (
+        bh * jnp.int32(-1640531527)  # 0x9E3779B9 (golden-ratio odd constant)
+        + iq * jnp.int32(-2048144789)  # 0x85EBCA6B (murmur3 mix constant)
+        + jk * jnp.int32(-1028477387)  # 0xC2B2AE35 (murmur3 mix constant)
+    )
+    pltpu.prng_seed(seed_ref[0], coord)
     bits = pltpu.bitcast(pltpu.prng_random_bits(shape), jnp.uint32)
     return bits >= _drop_threshold(rate)
 

@@ -66,9 +66,11 @@ def get_parser(model_name: str = "destr") -> argparse.ArgumentParser:
                        help="aspect-preserving data path: pad instead of "
                             "stretch, pixel valid-mask into the model, "
                             "reference-exact eval geometry")
-        p.add_argument("--use_flash_attention", action="store_true",
+        p.add_argument("--use_flash_attention", type=str, default="auto",
+                       choices=["auto", "on", "off"],
                        help="fused Pallas attention (encoder MHSA + decoder "
-                            "cross attention), incl. in-kernel attention dropout")
+                            "cross attention), incl. in-kernel attention "
+                            "dropout; auto = on for TPU, off elsewhere")
     elif model_name == "ssd":
         p.add_argument("--coef_class_loss", type=float, default=0.5)
         p.add_argument("--num_cls", type=int, default=20)
@@ -114,7 +116,9 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         num_cls=getattr(args, "num_cls", 2) if model_name == "destr" else 2,
         backbone=getattr(args, "backbone", "resnet50"),
         dilation=getattr(args, "dilation", False),
-        use_flash_attention=getattr(args, "use_flash_attention", False),
+        use_flash_attention={"on": True, "off": False}.get(
+            getattr(args, "use_flash_attention", "auto"), "auto"
+        ),
         compute_dtype=args.compute_dtype,
     )
     ssd = SSDConfig(

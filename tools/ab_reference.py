@@ -12,8 +12,12 @@ Protocol — everything that can be shared IS shared:
   * the REFERENCE is trained by its own ``train_one_epoch``
     (src/train/train.py:141-223) with its own SetCriterion /
     HungarianMatcherWoL1 (intended config, REFCOMPAT #6) — not a rewrite;
-  * final eval: both models' predictions scored by the REFERENCE
-    ``MeanAveragePrecision`` (src/utils/criterion.py:92-193).
+  * final eval: both models' predictions scored by the SAME metric code —
+    the repo ``MeanAveragePrecision``, exact-parity-proven against the
+    reference metric (tests/test_reference_parity.py:279) but with the
+    reference's rank-0 0/0 -> NaN defect guarded (REFCOMPAT #11; the raw
+    reference metric returns NaN whenever any image's top-ranked
+    prediction misses).
 
 Run:  python tools/ab_reference.py [--epochs 6] [--train-size 160] ...
 Emits one JSON line; record the table in BASELINE.md.
@@ -199,25 +203,24 @@ def run_reference(args, images, box_list, orders, val_images, val_boxes):
         print(f"[ref] epoch {ep}: loss_model={lm:.4f} loss_det={ld:.4f} "
               f"({dur:.1f}s)", flush=True)
 
-    # eval with the reference metric
-    metric = MeanAveragePrecision(num_cls=1, num_pred=args.top_k)
+    # eval: collect raw predictions; scoring happens in main() with the repo
+    # metric (parity-proven vs the reference metric, which NaNs on rank-0
+    # misses — REFCOMPAT #11)
+    preds = []
     model.eval()
     with torch.no_grad():
         for s in range(0, len(val_images), args.batch):
             imgs = torch.from_numpy(
                 val_images[s : s + args.batch].transpose(0, 3, 1, 2)
             ).contiguous()
-            tgts = tuple(
-                {
-                    "boxes": torch.from_numpy(bx),
-                    "labels": torch.zeros(len(bx), dtype=torch.long),
-                }
-                for bx in val_boxes[s : s + args.batch]
-            )
             out, _ = model(imgs)
-            metric(out, tgts)
-    ref_map = float(metric.compute())
-    return init_sd, ref_map, hist, time.time() - t0, init_loss
+            preds.append(
+                {
+                    "pred_class": out["pred_class"].numpy(),
+                    "pred_boxes": out["pred_boxes"].numpy(),
+                }
+            )
+    return init_sd, preds, hist, time.time() - t0, init_loss
 
 
 # --------------------------------------------------------------------- ours
@@ -260,7 +263,7 @@ def run_ours(args, init_sd, images, box_list, orders, val_images, val_boxes):
     train_step = make_destr_train_step(model, tx, train_cfg)
 
     boxes_pad, labels_pad, valid_pad = pad_targets(box_list, args.max_boxes)
-    hist = []
+    hist, init_loss = [], None
     t0 = time.time()
     for ep, order in enumerate(orders):
         ep_losses = []
@@ -272,32 +275,47 @@ def run_ours(args, init_sd, images, box_list, orders, val_images, val_boxes):
                 "valid": jnp.asarray(valid_pad[idx]),
             }
             state, metrics = train_step(state, batch)
+            if init_loss is None:
+                init_loss = float(metrics["loss"])  # pre-update loss, batch 0
             ep_losses.append(float(metrics["loss_model"]))
         hist.append(float(np.mean(ep_losses)))
         print(f"[ours] epoch {ep}: loss_model={hist[-1]:.4f}", flush=True)
 
-    # eval scored by the REFERENCE metric
-    metric = MeanAveragePrecision(num_cls=1, num_pred=args.top_k)
+    # eval: collect raw predictions; scoring happens in main()
+    preds = []
     apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     for s in range(0, len(val_images), args.batch):
         out, _ = apply(variables, jnp.asarray(val_images[s : s + args.batch]))
-        tgts = tuple(
+        preds.append(
             {
-                "boxes": torch.from_numpy(bx),
-                "labels": torch.zeros(len(bx), dtype=torch.long),
+                "pred_class": np.asarray(out["pred_class"]),
+                "pred_boxes": np.asarray(out["pred_boxes"]),
             }
-            for bx in val_boxes[s : s + args.batch]
         )
-        metric(
-            {
-                "pred_class": torch.from_numpy(np.asarray(out["pred_class"])),
-                "pred_boxes": torch.from_numpy(np.asarray(out["pred_boxes"])),
-            },
-            tgts,
+    return preds, hist, time.time() - t0, init_loss
+
+
+def score(preds, val_boxes, batch, top_k, max_boxes):
+    """Repo MeanAveragePrecision over batched predictions (both sides go
+    through this identical code path)."""
+    import jax.numpy as jnp
+
+    from object_detection_destr_tpu.losses.metrics import MeanAveragePrecision
+
+    metric = MeanAveragePrecision(num_cls=1, num_pred=top_k)
+    state = metric.init_state()
+    for i, p in enumerate(preds):
+        bxs = val_boxes[i * batch : (i + 1) * batch]
+        boxes, labels, valid = pad_targets(bxs, max_boxes)
+        state = metric.update(
+            state,
+            {"pred_class": jnp.asarray(p["pred_class"]),
+             "pred_boxes": jnp.asarray(p["pred_boxes"])},
+            {"boxes": jnp.asarray(boxes), "labels": jnp.asarray(labels),
+             "valid": jnp.asarray(valid)},
         )
-    ours_map = float(metric.compute())
-    return ours_map, hist, time.time() - t0, init_loss
+    return float(metric.compute(state))
 
 
 def main(argv=None):
@@ -323,12 +341,14 @@ def main(argv=None):
     )
     orders = epoch_orders(args.num_train, args.batch, args.epochs)
 
-    init_sd, ref_map, ref_hist, ref_t, ref_l0 = run_reference(
+    init_sd, ref_preds, ref_hist, ref_t, ref_l0 = run_reference(
         args, images, box_list, orders, val_images, val_boxes
     )
-    ours_map, ours_hist, ours_t, ours_l0 = run_ours(
+    ours_preds, ours_hist, ours_t, ours_l0 = run_ours(
         args, init_sd, images, box_list, orders, val_images, val_boxes
     )
+    ref_map = score(ref_preds, val_boxes, args.batch, args.top_k, args.max_boxes)
+    ours_map = score(ours_preds, val_boxes, args.batch, args.top_k, args.max_boxes)
 
     result = {
         "protocol": {
