@@ -94,12 +94,28 @@ def hungarian_match(
         rows: (B, T) int32 — ``rows[b, t]`` is the query matched to target t
         (duplicate-free; meaningful only where ``targets["valid"]``).
     """
+    import os
+
+    sg = jax.lax.stop_gradient
+    if (
+        cost_bbox == 0
+        and jax.default_backend() == "tpu"
+        and not os.environ.get("OBJDET_NO_PALLAS_MATCHER")
+    ):
+        # fused cost+auction kernel — the cost never touches HBM
+        from ..ops.pallas.auction import hungarian_match_pallas
+
+        return hungarian_match_pallas(
+            sg(outputs["pred_class"]), sg(outputs["pred_boxes"]),
+            sg(targets["boxes"]), targets["labels"], targets["valid"],
+            cost_class=cost_class, cost_ciou=cost_ciou,
+            eps_frac=eps_frac, max_iters=max_iters,
+        )
     cost = hungarian_cost_matrix(outputs, targets, cost_class, cost_bbox, cost_ciou)
     # no-grad by contract (reference matcher.py:158 @torch.no_grad); zeroed
     # tangents also keep autodiff out of the Pallas solver (no JVP rule)
     return batched_assignment(
-        jax.lax.stop_gradient(cost), targets["valid"],
-        eps_frac=eps_frac, max_iters=max_iters,
+        sg(cost), targets["valid"], eps_frac=eps_frac, max_iters=max_iters
     )
 
 

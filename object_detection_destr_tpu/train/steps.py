@@ -49,16 +49,38 @@ def _destr_targets(batch: dict) -> dict:
 
 
 def _match_pair(model_out: dict, det_out: dict, targets: dict):
-    """One batched auction solve for both criteria.
+    """Matching for both criteria (model top_k queries; mini-detector HW
+    tokens).
 
-    The model (top_k queries) and mini-detector (HW tokens) matchers each run
-    a sequential ``while_loop`` whose per-round cost is fixed-overhead
-    dominated (profile notes in BASELINE.md); stacking the two cost matrices
-    into one (2B, max_N, T) problem halves that overhead. The shorter matrix
-    is padded with +1e6-cost rows — never bid on by the auction and never
-    picked by the completion pass while real free rows exist (N >= T always
-    holds here), so returned indices stay in range.
+    On TPU each solve is one fused Pallas launch: the focal+CIoU cost is
+    built in VMEM feeding the auction directly — the XLA cost matrix alone
+    measured ~4.5 ms/step at b8 because its (B, N, T) layout puts T=32 on
+    the 128-lane minor dim (BASELINE.md r2 profile). Elsewhere the XLA
+    reference path runs (cost matrices stacked into one (2B, max_N, T)
+    solve to amortize the while_loop overhead).
+
+    stop_gradient sits on the matcher INPUTS, not just the result: the
+    matcher is non-differentiable by construction (reference uses
+    @torch.no_grad, matcher.py:158), and zeroing tangents keeps autodiff
+    from trying to linearize through the Pallas kernels (no JVP rule).
     """
+    import os
+
+    sg = jax.lax.stop_gradient
+    if jax.default_backend() == "tpu" and not os.environ.get(
+        "OBJDET_NO_PALLAS_MATCHER"
+    ):
+        from ..ops.pallas.auction import hungarian_match_pallas
+
+        tb, tl, tv = sg(targets["boxes"]), targets["labels"], targets["valid"]
+        rows1 = hungarian_match_pallas(
+            sg(model_out["pred_class"]), sg(model_out["pred_boxes"]), tb, tl, tv
+        )
+        rows2 = hungarian_match_pallas(
+            sg(det_out["pred_class"]), sg(det_out["pred_boxes"]), tb, tl, tv
+        )
+        return rows1, rows2
+
     c1 = hungarian_cost_matrix(model_out, targets)  # (B, N1, T)
     c2 = hungarian_cost_matrix(det_out, targets)  # (B, N2, T)
     n = max(c1.shape[1], c2.shape[1])
@@ -67,11 +89,7 @@ def _match_pair(model_out: dict, det_out: dict, targets: dict):
     )
     cost = jnp.concatenate([pad(c1), pad(c2)], axis=0)
     valid2 = jnp.concatenate([targets["valid"]] * 2, axis=0)
-    # stop_gradient on the INPUT, not just the result: the matcher is
-    # non-differentiable by construction (reference uses @torch.no_grad,
-    # matcher.py:158), and zeroing tangents here keeps autodiff from trying
-    # to linearize through the solver (the Pallas kernel has no JVP rule)
-    rows = batched_assignment(jax.lax.stop_gradient(cost), valid2)
+    rows = batched_assignment(sg(cost), valid2)
     b = c1.shape[0]
     return rows[:b], rows[b:]
 

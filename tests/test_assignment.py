@@ -129,3 +129,52 @@ def test_pallas_kernel_padding_and_blocks():
             sp = cost[i][r_sp, c_sp].sum()
             got = _total_cost(cost[i], rows[i], valid[i])
             assert got <= sp + 0.05 * abs(sp) + 0.1
+
+
+@pytest.mark.parametrize("n,t,c,seed", [(25, 8, 2, 0), (400, 32, 2, 1), (60, 10, 5, 2)])
+def test_fused_hungarian_kernel_matches_two_step(n, t, c, seed):
+    """hungarian_match_pallas (cost built in VMEM) must reproduce
+    batched_assignment(hungarian_cost_matrix(...)) — identical total cost
+    on random problems, interpret mode."""
+    import jax
+
+    from object_detection_destr_tpu.losses.matcher import hungarian_cost_matrix
+    from object_detection_destr_tpu.ops.assignment import batched_assignment
+    from object_detection_destr_tpu.ops.pallas.auction import (
+        hungarian_match_pallas,
+    )
+
+    rng = np.random.default_rng(seed)
+    b = 3
+    logits = rng.normal(size=(b, n, c)).astype(np.float32)
+    pb = np.stack(
+        [rng.uniform(0.2, 0.8, (b, n)), rng.uniform(0.2, 0.8, (b, n)),
+         rng.uniform(0.05, 0.4, (b, n)), rng.uniform(0.05, 0.4, (b, n))], -1
+    ).astype(np.float32)
+    raw = rng.uniform(0, 1, (b, t, 4)).astype(np.float32)
+    tb = np.stack(
+        [np.minimum(raw[..., 0], raw[..., 2]), np.minimum(raw[..., 1], raw[..., 3]),
+         np.maximum(raw[..., 0], raw[..., 2]), np.maximum(raw[..., 1], raw[..., 3])],
+        -1,
+    )
+    lab = rng.integers(0, c, (b, t)).astype(np.int32)
+    valid = rng.uniform(size=(b, t)) > 0.2
+    outputs = {"pred_class": jnp.asarray(logits), "pred_boxes": jnp.asarray(pb)}
+    targets = {"boxes": jnp.asarray(tb), "labels": jnp.asarray(lab),
+               "valid": jnp.asarray(valid)}
+    cost = np.asarray(hungarian_cost_matrix(outputs, targets))
+    rows_ref = np.asarray(
+        batched_assignment(jnp.asarray(cost), targets["valid"])
+    )
+    rows_fused = np.asarray(
+        hungarian_match_pallas(
+            outputs["pred_class"], outputs["pred_boxes"], targets["boxes"],
+            targets["labels"], targets["valid"],
+        )
+    )
+    for i in range(b):
+        v = valid[i]
+        cf = cost[i][rows_fused[i][v], np.where(v)[0]].sum()
+        cr = cost[i][rows_ref[i][v], np.where(v)[0]].sum()
+        assert abs(cf - cr) <= 0.01 * abs(cr) + 1e-3
+        assert len(set(rows_fused[i][v].tolist())) == v.sum()

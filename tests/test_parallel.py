@@ -113,3 +113,30 @@ def test_auto_mesh_non_divisible_batch_warns(caplog):
         mesh = auto_mesh(16)
     assert mesh.shape["data"] == 8
     assert not caplog.records
+
+
+def test_pallas_auction_under_data_sharding():
+    """The single-launch auction kernel must partition over the data axis
+    (batch grid dimension) and agree with the XLA reference path bit-for-bit
+    when both run on the 8-device mesh."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from object_detection_destr_tpu.ops.assignment import batched_assignment
+    from object_detection_destr_tpu.ops.pallas.auction import (
+        auction_assignment_pallas,
+    )
+
+    mesh = make_mesh()
+    rng = np.random.default_rng(0)
+    cost = (rng.normal(size=(16, 50, 8)) * 3).astype(np.float32)
+    valid = np.ones((16, 8), bool)
+    cj = jax.device_put(jnp.asarray(cost), NamedSharding(mesh, P("data")))
+    vj = jax.device_put(jnp.asarray(valid), NamedSharding(mesh, P("data")))
+
+    rows = np.asarray(
+        jax.jit(lambda c, v: auction_assignment_pallas(c, v, interpret=True))(cj, vj)
+    )
+    rows_ref = np.asarray(
+        batched_assignment(jnp.asarray(cost), jnp.asarray(valid))
+    )
+    np.testing.assert_array_equal(rows, rows_ref)
