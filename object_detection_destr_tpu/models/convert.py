@@ -26,6 +26,7 @@ __all__ = [
     "destr_encoder_params_from_torch",
     "destr_decoder_params_from_torch",
     "destr_variables_from_torch",
+    "ssd_variables_from_torch",
 ]
 
 
@@ -287,3 +288,60 @@ def destr_variables_from_torch(
     params["mini_detector"] = mini_params
 
     return {"params": params, "batch_stats": {"mini_detector": mini_stats}}
+
+
+def ssd_variables_from_torch(sd: Mapping[str, Any], num_cls: int = 20) -> dict:
+    """Map a FULL reference ``SingleShotDetector`` state_dict
+    (model_ssd.py:6-149) onto our SSD flax variables
+    ``{"params": ..., "batch_stats": ...}``.
+
+    Component prefixes:
+      ``_backbone._layers.{j}``      VGG16 features[:23] convs
+      ``_feature_maps.{i}.{0,1,3,4}`` extra blocks (conv1, bn1, conv2, bn2)
+      ``_detectors.boxes.{i}`` / ``_detectors.conf.{i}``  3x3 heads
+
+    Confidence-head channel surgery (REFCOMPAT #4): the reference allocates
+    ``A * (num_cls + 2)`` channels per scale — background double-counted;
+    its softmax uses labels 0..num_cls-1 for classes and channel ``-1``
+    (num_cls + 1) for background (criterion.py:324-328), leaving channel
+    ``num_cls`` dead. Ours has ``A * (num_cls + 1)`` with background last,
+    so per anchor the kept reference channels are [0..num_cls-1, num_cls+1].
+    """
+    params: dict = {
+        "backbone": vgg16_params_from_torch(
+            {k[len("_backbone._layers."):]: v for k, v in sd.items()
+             if k.startswith("_backbone._layers.")}
+        )
+    }
+    stats: dict = {}
+    for i in range(5):
+        tp = f"_feature_maps.{i}"
+        params[f"extra{i}"] = {
+            "conv1": {"kernel": _conv_kernel(sd[f"{tp}.0.weight"])},
+            "conv2": {"kernel": _conv_kernel(sd[f"{tp}.3.weight"])},
+            "bn1": {"scale": _np(sd[f"{tp}.1.weight"]),
+                    "bias": _np(sd[f"{tp}.1.bias"])},
+            "bn2": {"scale": _np(sd[f"{tp}.4.weight"]),
+                    "bias": _np(sd[f"{tp}.4.bias"])},
+        }
+        stats[f"extra{i}"] = {
+            "bn1": {"mean": _np(sd[f"{tp}.1.running_mean"]),
+                    "var": _np(sd[f"{tp}.1.running_var"])},
+            "bn2": {"mean": _np(sd[f"{tp}.4.running_mean"]),
+                    "var": _np(sd[f"{tp}.4.running_var"])},
+        }
+
+    anchors = (4, 6, 6, 6, 4, 4)  # model_ssd.py:11
+    keep = list(range(num_cls)) + [num_cls + 1]
+    for i, a in enumerate(anchors):
+        params[f"box_head{i}"] = _conv2d(sd, f"_detectors.boxes.{i}")
+        w = _conv_kernel(sd[f"_detectors.conf.{i}.weight"])  # (3,3,in, A*(C+2))
+        b = _np(sd[f"_detectors.conf.{i}.bias"])
+        cin = w.shape[2]
+        w = w.reshape(3, 3, cin, a, num_cls + 2)[..., keep]
+        b = b.reshape(a, num_cls + 2)[:, keep]
+        params[f"conf_head{i}"] = {
+            "kernel": w.reshape(3, 3, cin, a * (num_cls + 1)),
+            "bias": b.reshape(a * (num_cls + 1)),
+        }
+    return {"params": params, "batch_stats": stats}

@@ -103,3 +103,45 @@ def test_whole_destr_forward_parity():
     # depth (2.9e-3 at 1 block, 2.0e-3 at 2), ruling out a wiring mismatch.
     close(ours_model_out["pred_class"], ref_model_out["pred_class"], "pred_class", 1e-2)
     close(ours_model_out["pred_boxes"], ref_model_out["pred_boxes"], "pred_boxes", 2e-3)
+
+
+def test_whole_ssd_forward_parity():
+    """Full reference SingleShotDetector vs our SSD from converted weights:
+    all 6 scales of boxes exactly; confidences modulo the reference's dead
+    channel (REFCOMPAT #4 — its softmax uses labels 0..C-1 and channel -1
+    for background, criterion.py:324-328, so channel C is never trained)."""
+    from object_detection_destr_tpu.config import SSDConfig
+    from object_detection_destr_tpu.models.convert import ssd_variables_from_torch
+    from object_detection_destr_tpu.models.ssd.model import build_ssd
+    from tools.ref_torch_models import build_reference_ssd, zero_reference_dropout
+
+    class _A:
+        num_cls = 20
+
+    torch.manual_seed(3)
+    ref = build_reference_ssd(_A())
+    zero_reference_dropout(ref)
+    ref.eval()
+
+    variables = ssd_variables_from_torch(ref.state_dict(), num_cls=20)
+    model = build_ssd(SSDConfig())
+
+    rng = np.random.default_rng(4)
+    x = rng.normal(size=(2, 3, 300, 300)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = ref(torch.from_numpy(x))
+    ours = model.apply(variables, jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+    keep = list(range(20)) + [21]
+    for s in range(6):
+        rb = ref_out["boxes"][s].numpy()
+        ob = np.asarray(ours["boxes"][s])
+        assert ob.shape == rb.shape, (s, ob.shape, rb.shape)
+        # deep scales have near-zero outputs at random init; combined abs+rel
+        np.testing.assert_allclose(ob, rb, rtol=5e-4, atol=1e-4,
+                                   err_msg=f"boxes scale {s}")
+
+        rc = ref_out["conf"][s].numpy()[..., keep]
+        oc = np.asarray(ours["conf"][s])
+        np.testing.assert_allclose(oc, rc, rtol=5e-4, atol=1e-4,
+                                   err_msg=f"conf scale {s}")
