@@ -180,31 +180,35 @@ def ssd_criterion(
     n_pairs = jnp.sum(match, axis=(-1, -2))  # (B,)
 
     # ---- localization: smooth-L1 on encoded offsets (criterion.py:255-291)
-    a = anchors[None, :, None, :]  # (1, S, 1, 4)
-    g = gt_cxcyhw[:, None, :, :]  # (B, 1, T, 4)
-    safe_ratio_h = jnp.where(match, g[..., 2] / jnp.maximum(a[..., 2], eps), 1.0)
-    safe_ratio_w = jnp.where(match, g[..., 3] / jnp.maximum(a[..., 3], eps), 1.0)
-    encoded = jnp.stack(
-        [
-            (g[..., 0] - a[..., 0]) / jnp.maximum(a[..., 3], eps),
-            (g[..., 1] - a[..., 1]) / jnp.maximum(a[..., 2], eps),
-            jnp.log(jnp.maximum(safe_ratio_h, eps)),
-            jnp.log(jnp.maximum(safe_ratio_w, eps)),
-        ],
-        axis=-1,
-    )  # (B, S, T, 4)
-    local_el = _smooth_l1(pred_boxes[:, :, None, :] - encoded)  # (B, S, T, 4)
+    # Layout matters enormously here: the naive (B, S, T, 4) pairwise form
+    # puts 4 on the 128-lane minor dim and measured 23 ms/step at b8 (r2
+    # profile) — ~30 GB/s effective. Everything below is per-coordinate
+    # (B, T, S) with the ~8.4k anchors filling the lanes.
+    match_t = jnp.swapaxes(match, 1, 2)  # (B, T, S)
+    acx, acy, ah, aw = (anchors[:, i][None, None, :] for i in range(4))  # (1,1,S)
+    gc = lambda i: gt_cxcyhw[..., i][..., None]  # (B, T, 1)
+    pc = lambda i: pred_boxes[..., i][:, None, :]  # (B, 1, S)
+    safe_ratio_h = jnp.where(match_t, gc(2) / jnp.maximum(ah, eps), 1.0)
+    safe_ratio_w = jnp.where(match_t, gc(3) / jnp.maximum(aw, eps), 1.0)
+    local_el = (
+        _smooth_l1(pc(0) - (gc(0) - acx) / jnp.maximum(aw, eps))
+        + _smooth_l1(pc(1) - (gc(1) - acy) / jnp.maximum(ah, eps))
+        + _smooth_l1(pc(2) - jnp.log(jnp.maximum(safe_ratio_h, eps)))
+        + _smooth_l1(pc(3) - jnp.log(jnp.maximum(safe_ratio_w, eps)))
+    )  # (B, T, S)
     local_per_img = jnp.sum(
-        jnp.where(match[..., None], local_el, 0.0), axis=(-1, -2, -3)
+        jnp.where(match_t, local_el, 0.0), axis=(-1, -2)
     ) / jnp.maximum(4.0 * n_pairs, 1.0)
 
     # ---- classification: positive LL + hard negative mining
-    # (criterion.py:294-337); log-softmax for stability, same selection
+    # (criterion.py:294-337); log-softmax for stability, same selection.
+    # The per-pair label gather is a one-hot batched matmul (MXU) instead of
+    # a T-minor take_along_axis.
     log_conf = jax.nn.log_softmax(logits, axis=-1)  # (B, S, C+1)
-    pos_ll = jnp.take_along_axis(
-        log_conf, jnp.broadcast_to(labels[:, None, :], match.shape), axis=-1
-    )  # (B, S, T): log conf of each pair's GT label
-    pos_term = jnp.sum(jnp.where(match, pos_ll, 0.0), axis=(-1, -2))  # (B,)
+    onehot = jax.nn.one_hot(labels, log_conf.shape[-1], dtype=log_conf.dtype)
+    pos_ll = jnp.einsum("btc,bsc->bts", onehot, log_conf,
+                        preferred_element_type=jnp.float32)  # (B, T, S)
+    pos_term = jnp.sum(jnp.where(match_t, pos_ll, 0.0), axis=(-1, -2))  # (B,)
 
     n_pos = jnp.sum(positive, axis=-1)  # (B,)
     bg_ll = log_conf[..., -1]  # (B, S)
