@@ -125,11 +125,19 @@ class DecoderBlock(nn.Module):
         k = split_heads(k_obj + k_pos, h2)
 
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
-        o1 = scaled_dot_product_attention(
-            q, k, v,
-            dropout_rate=self.dropout,
-            dropout_rng=self.make_rng("dropout") if not deterministic else None,
-        )
+        if self.use_flash:
+            # fused path for the plain self-attention branch (the pair
+            # branch's exotic structure stays XLA)
+            rate, seed = attention_dropout_seed(self, self.dropout, deterministic)
+            o1_4 = flash_attention_trainable(q, k, v, None, seed, rate)
+            b_, h_, s_, d_ = o1_4.shape
+            o1 = o1_4.transpose(0, 2, 1, 3).reshape(b_, s_, h_ * d_)
+        else:
+            o1 = scaled_dot_product_attention(
+                q, k, v,
+                dropout_rate=self.dropout,
+                dropout_rng=self.make_rng("dropout") if not deterministic else None,
+            )
         o2 = pair_self_attention(
             q, k, v, obj_coords,
             pair_mode=self.pair_mode,

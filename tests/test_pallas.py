@@ -367,3 +367,41 @@ def test_decoder_flash_path_matches_xla():
     out_x, params = run(False)
     out_f, _ = run(True, params)
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=3e-4, atol=3e-5)
+
+
+def test_decoder_self_attn_flash_path_matches_xla():
+    """The plain self-attention branch of the decoder block must produce the
+    same output through the flash kernel as through XLA (eval mode; the pair
+    branch stays XLA in both)."""
+    from flax import linen as nn
+
+    from object_detection_destr_tpu.models.destr.decoder import Decoder
+    from object_detection_destr_tpu.models.destr.layers import Mlp
+
+    class Wrap(nn.Module):
+        use_flash: bool
+
+        def setup(self):
+            self.dec = Decoder(
+                hidden_dim=32, num_heads=4, num_blocks=2, use_flash=self.use_flash
+            )
+            self.bbox = Mlp([32, 4])
+
+        def __call__(self, *a):
+            return self.dec(*a, bbox_embed=self.bbox, deterministic=True)
+
+    rng = np.random.default_rng(0)
+    b, s, l, c = 2, 6, 9, 32
+    args = (
+        jnp.asarray(rng.normal(size=(b, s, 2 * c)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32)),
+        jnp.asarray(np.ones((b, l), bool)),
+        jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32)),
+        jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32)),
+        jnp.asarray(rng.uniform(0.3, 0.7, (b, s, 2)).astype(np.float32)),
+    )
+    m0 = Wrap(False)
+    params = m0.init(jax.random.key(0), *args)
+    o0 = m0.apply(params, *args)
+    o1 = Wrap(True).apply(params, *args)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=2e-4)
