@@ -187,6 +187,7 @@ def main() -> None:
             jax.block_until_ready(x)
 
         dt = _time_windows(window)
+        dt = _device_time_or(dt, window, BATCH)
     else:
         state, metrics = step(state, batch)  # compile; donates state
         jax.block_until_ready(metrics)
