@@ -52,6 +52,8 @@ BACKBONE = os.environ.get("BENCH_BACKBONE", "resnet50")
 DILATION = os.environ.get("BENCH_DILATION", "0") == "1"
 REPEATS = int(os.environ.get("BENCH_REPEATS", 3))
 
+_TIMING_METHOD = "profiler device-time"
+
 
 def _fake_batch(rng, image: int, cxcyhw: bool, batch_size: int | None = None) -> dict:
     b = batch_size or BATCH
@@ -114,6 +116,8 @@ def _device_time_or(wall_dt: float, run_once, batch: int) -> float:
             jax.profiler.stop_trace()
             steps = device_step_seconds(td)
         if not steps:
+            global _TIMING_METHOD
+            _TIMING_METHOD = "WALL-CLOCK (no trace steps; UNRELIABLE on the relay)"
             return wall_dt
         dev = statistics.median(steps) * STEPS
         import sys
@@ -246,7 +250,7 @@ def main() -> None:
             {
                 "metric": (
                     f"{name} {MODE} images/sec/chip "
-                    f"(bf16, {image}px, b{BATCH}, profiler device-time; "
+                    f"(bf16, {image}px, b{BATCH}, {_TIMING_METHOD}; "
                     f"r1 wall numbers were relay artifacts){extra_txt}"
                 ),
                 "value": round(images_per_sec, 3),

@@ -96,12 +96,30 @@ def device_step_seconds(trace_dir: str) -> list:
     device_pids = {
         p for p, n in pid_names.items() if "TPU" in n or "device" in n.lower()
     }
-    steps = [
-        float(ev["dur"]) / 1e6
-        for ev in trace.get("traceEvents", [])
-        if ev.get("ph") == "X"
-        and ev.get("pid") in device_pids
-        and tid_names.get((ev["pid"], ev["tid"])) == "Steps"
-        and ev.get("dur")
-    ]
-    return steps
+
+    def track(name):
+        return [
+            ev
+            for ev in trace.get("traceEvents", [])
+            if ev.get("ph") == "X"
+            and ev.get("pid") in device_pids
+            and tid_names.get((ev["pid"], ev["tid"])) == name
+            and ev.get("dur")
+        ]
+
+    steps = [float(ev["dur"]) / 1e6 for ev in track("Steps")]
+    if steps:
+        return steps
+    # inference-only traces have no 'Steps' markers; fall back to the
+    # 'XLA Modules' track (one span per executable run) restricted to the
+    # dominant module so auxiliary jits don't pollute the timing
+    mods = track("XLA Modules")
+    if not mods:
+        return []
+    from collections import defaultdict
+
+    total = defaultdict(float)
+    for ev in mods:
+        total[ev.get("name", "?")] += float(ev["dur"])
+    main = max(total, key=total.get)
+    return [float(ev["dur"]) / 1e6 for ev in mods if ev.get("name") == main]
