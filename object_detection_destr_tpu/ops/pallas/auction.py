@@ -47,6 +47,20 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _pick_bb(b: int, mp: int, np_: int) -> int | None:
+    """Batch-block size bounded by VMEM: Mosaic keeps ~6 (Bb, M, Np) f32
+    working buffers live per bidding round (measured: a (8, 304, 384)
+    problem allocated 21 MB of scoped stack and OOMed the 16 MB budget at
+    the t=300 CLI config), so pick the largest divisor of ``b`` that keeps
+    6 * Bb * M * Np * 4B within ~13 MB; None if even Bb=1 does not fit
+    (caller falls back to the XLA path)."""
+    per = mp * np_ * 4
+    for g in (16, 8, 4, 2, 1):
+        if b % g == 0 and 6 * g * per <= 13 * 1024 * 1024:
+            return g
+    return None
+
+
 def _solve(value, colv, row_real, col_real, eps_frac: float, max_iters: int):
     """Shared auction + greedy-completion body. ``value`` is the (Bb, M, Np)
     benefit matrix with padded rows already at -_BIG; ``colv`` the valid
@@ -168,13 +182,15 @@ def _solve(value, colv, row_real, col_real, eps_frac: float, max_iters: int):
 def _kernel(value_ref, colv_ref, out_ref, *, n_real: int, m_real: int,
             eps_frac: float, max_iters: int):
     value = value_ref[:]  # (Bb, M, Np) f32; padded rows already at -_BIG
-    colv = colv_ref[:] > 0  # (Bb, M)
+    # 2-D operands ride in (Bb, 1, Mp) blocks: a (Bb, Mp) block with Bb < 8
+    # violates Mosaic's (8, 128)-divisibility rule on the sublane dim
+    colv = colv_ref[:, 0, :] > 0  # (Bb, M)
     bb, m, np_ = value.shape
     row_real = (
         jax.lax.broadcasted_iota(jnp.int32, (bb, 1, np_), 2) < n_real
     )
     col_real = jax.lax.broadcasted_iota(jnp.int32, (bb, m), 1) < m_real
-    out_ref[:] = _solve(value, colv, row_real, col_real, eps_frac, max_iters)
+    out_ref[:, 0, :] = _solve(value, colv, row_real, col_real, eps_frac, max_iters)
 
 
 @partial(
@@ -214,25 +230,29 @@ def auction_assignment_pallas(
                     constant_values=-_BIG)
     colv = jnp.pad(col_valid.astype(jnp.int32), ((0, 0), (0, mp - m)))
 
-    # block the batch so VMEM stays bounded at large B
-    bb = next(g for g in (16, 8, 4, 2, 1) if b % g == 0)
+    bb = _pick_bb(b, mp, np_)
+    if bb is None:  # problem too large for VMEM — XLA reference path
+        from ..assignment import batched_assignment
+
+        return batched_assignment(cost, col_valid, eps_frac=eps_frac,
+                                  max_iters=max_iters)
 
     out = pl.pallas_call(
         partial(_kernel, n_real=n, m_real=m, eps_frac=eps_frac,
                 max_iters=max_iters),
-        out_shape=jax.ShapeDtypeStruct((b, mp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, mp), jnp.int32),
         grid=(b // bb,),
         in_specs=[
             pl.BlockSpec((bb, mp, np_), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, mp), lambda i: (i, 0),
+            pl.BlockSpec((bb, 1, mp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, mp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bb, 1, mp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(value, colv)
-    return out[:, :m]
+    )(value, colv[:, None, :])
+    return out[:, 0, :m]
 
 
 # ---------------------------------------------------------------------------
@@ -260,15 +280,15 @@ def _fused_kernel(pn_ref, pbox_ref, tbox_ref, lab_ref, colv_ref, out_ref, *,
     """
     bb = pn_ref.shape[0]
     np_ = pn_ref.shape[2]
-    m = colv_ref.shape[1]
+    m = colv_ref.shape[2]  # (Bb, 1, Mp)
 
     pn = pn_ref[:]      # (Bb, Cp, Np) f32: pos - neg per class, queries on lanes
     pbox = pbox_ref[:]  # (Bb, 8, Np): rows 0-3 = cx, cy, h, w (cxcyhw!);
     #                     row 4 = atan(w/h) of the clipped xyxy->cxcyhw form
     #                     (Mosaic has no atan lowering — computed in XLA)
     tbox = tbox_ref[:]  # (Bb, 8, Mp_lane): rows 0-3 = x1, y1, x2, y2; row 4 = atan
-    labels = lab_ref[:]  # (Bb, M) int32
-    colv = colv_ref[:] > 0  # (Bb, M)
+    labels = lab_ref[:, 0, :]  # (Bb, M) int32 (2-D operands ride (Bb,1,Mp))
+    colv = colv_ref[:, 0, :] > 0  # (Bb, M)
 
     def prow(i):  # (Bb, 1, Np) pred coordinate row
         return pbox[:, i, :][:, None, :]
@@ -329,7 +349,8 @@ def _fused_kernel(pn_ref, pbox_ref, tbox_ref, lab_ref, colv_ref, out_ref, *,
     col_real = jax.lax.broadcasted_iota(jnp.int32, (bb, m), 1) < m_real
     value = jnp.where(row_real, value, -_BIG)
 
-    out_ref[:] = _solve(value, colv, row_real, col_real, eps_frac, max_iters)
+    out_ref[:, 0, :] = _solve(value, colv, row_real, col_real, eps_frac,
+                              max_iters)
 
 
 @partial(
@@ -410,13 +431,24 @@ def hungarian_match_pallas(
                      constant_values=-1)
     colv = jnp.pad(col_valid.astype(jnp.int32), ((0, 0), (0, mp - t)))
 
-    bb = next(g for g in (16, 8, 4, 2, 1) if b % g == 0)
+    bb = _pick_bb(b, mp, np_)
+    if bb is None:  # too large for VMEM — two-step XLA path
+        from ...losses.matcher import hungarian_cost_matrix
+        from ..assignment import batched_assignment
+
+        c = hungarian_cost_matrix(
+            {"pred_class": pred_logits, "pred_boxes": pred_boxes},
+            {"boxes": tgt_boxes, "labels": tgt_labels, "valid": col_valid},
+            cost_class, 0.0, cost_ciou,
+        )
+        return batched_assignment(c, col_valid, eps_frac=eps_frac,
+                                  max_iters=max_iters)
 
     out = pl.pallas_call(
         partial(_fused_kernel, n_real=n, m_real=t, num_cls=num_cls,
                 cost_class=cost_class, cost_ciou=cost_ciou,
                 eps_frac=eps_frac, max_iters=max_iters),
-        out_shape=jax.ShapeDtypeStruct((b, mp), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((b, 1, mp), jnp.int32),
         grid=(b // bb,),
         in_specs=[
             pl.BlockSpec((bb, cp, np_), lambda i: (i, 0, 0),
@@ -425,13 +457,13 @@ def hungarian_match_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, 8, mp_lane), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, mp), lambda i: (i, 0),
+            pl.BlockSpec((bb, 1, mp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bb, mp), lambda i: (i, 0),
+            pl.BlockSpec((bb, 1, mp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((bb, mp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bb, 1, mp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(pn, pbox, tbox, labels, colv)
-    return out[:, :t]
+    )(pn, pbox, tbox, labels[:, None, :], colv[:, None, :])
+    return out[:, 0, :t]
