@@ -109,14 +109,18 @@ def _device_time_or(wall_dt: float, run_once, batch: int) -> float:
 
     from object_detection_destr_tpu.train.profiler import device_step_seconds
 
+    global _TIMING_METHOD
     try:
         with tempfile.TemporaryDirectory(prefix="bench_trace_") as td:
             jax.profiler.start_trace(td)
-            run_once()
-            jax.profiler.stop_trace()
+            try:
+                run_once()
+            finally:
+                # always stop: a run_once failure must not leave the profiler
+                # running and silently poison the next trace window
+                jax.profiler.stop_trace()
             steps = device_step_seconds(td)
         if not steps:
-            global _TIMING_METHOD
             _TIMING_METHOD = "WALL-CLOCK (no trace steps; UNRELIABLE on the relay)"
             return wall_dt
         dev = statistics.median(steps) * STEPS
@@ -130,7 +134,11 @@ def _device_time_or(wall_dt: float, run_once, batch: int) -> float:
             flush=True,
         )
         return max(dev, 0.0) or wall_dt
-    except Exception:
+    except Exception as e:
+        # label honestly: a wall-clock fallback is NOT device time
+        _TIMING_METHOD = (
+            f"WALL-CLOCK (trace failed: {type(e).__name__}; UNRELIABLE on the relay)"
+        )
         return wall_dt
 
 

@@ -60,6 +60,11 @@ class SSDConfig:
     feature_shapes: Sequence[int] = (37, 19, 10, 5, 3, 1)
     aspect_ratios: Sequence[Sequence[int]] = ((2,), (2, 3), (2, 3), (2, 3), (2,), (2,))
     compute_dtype: str = "float32"
+    # hard-negative mining direction (REFCOMPAT configurable quirk #5): "reference" keeps the
+    # highest-background-confidence (easiest) negatives, reproducing the
+    # reference's inverted sort (criterion.py:329-332); "paper" keeps the
+    # highest-loss negatives (SSD-paper semantics)
+    hard_neg_mining: str = "reference"
 
     @property
     def scales(self) -> list[float]:

@@ -144,6 +144,7 @@ def ssd_criterion(
     neg_pos_ratio: int = 3,
     iou_thresh: float = 0.5,
     eps: float = 1e-8,
+    mining: str = "reference",
 ) -> dict[str, jnp.ndarray]:
     """SSD combined criterion: matching + localization + hard-negative class.
 
@@ -159,6 +160,13 @@ def ssd_criterion(
         anchors: (S, 4) flattened default boxes (geometry.default_boxes).
         loss_coef: blend ``coef * class + (1 - coef) * local``
             (criterion.py:211-225).
+        mining: hard-negative selection direction. ``"reference"`` keeps the
+            negatives with the HIGHEST background confidence — i.e. the
+            *easiest* negatives, reproducing the reference's inverted sort
+            (criterion.py:329-332 sorts bg conf descending and keeps the top
+            3x#pos; the SSD paper mines the highest-LOSS negatives).
+            ``"paper"`` keeps the lowest-background-confidence (hardest)
+            negatives, the SSD-paper semantics. REFCOMPAT configurable quirk #5.
 
     Returns:
         {"loss", "class", "local"} scalars.
@@ -212,8 +220,13 @@ def ssd_criterion(
 
     n_pos = jnp.sum(positive, axis=-1)  # (B,)
     bg_ll = log_conf[..., -1]  # (B, S)
-    neg_ll = jnp.where(positive, -jnp.inf, bg_ll)
-    neg_sorted = -jnp.sort(-neg_ll, axis=-1)  # descending
+    if mining == "paper":
+        # hardest negatives: LOWEST background log-prob first (positives
+        # pushed to the end with +inf, excluded by keep_n <= n_neg)
+        neg_sorted = jnp.sort(jnp.where(positive, jnp.inf, bg_ll), axis=-1)
+    else:
+        neg_ll = jnp.where(positive, -jnp.inf, bg_ll)
+        neg_sorted = -jnp.sort(-neg_ll, axis=-1)  # descending: easiest first
     s = neg_sorted.shape[-1]
     n_neg = s - n_pos
     keep_n = jnp.minimum(neg_pos_ratio * n_pos, n_neg)  # (B,)

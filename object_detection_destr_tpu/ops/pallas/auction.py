@@ -47,16 +47,23 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _pick_bb(b: int, mp: int, np_: int) -> int | None:
-    """Batch-block size bounded by VMEM: Mosaic keeps ~6 (Bb, M, Np) f32
-    working buffers live per bidding round (measured: a (8, 304, 384)
+def _pick_bb(b: int, mp: int, np_: int, extra_bytes_per_item: int = 0,
+             bufs: int = 6) -> int | None:
+    """Batch-block size bounded by VMEM: Mosaic keeps ~``bufs`` (Bb, M, Np)
+    f32 working buffers live per bidding round (measured: a (8, 304, 384)
     problem allocated 21 MB of scoped stack and OOMed the 16 MB budget at
     the t=300 CLI config), so pick the largest divisor of ``b`` that keeps
-    6 * Bb * M * Np * 4B within ~13 MB; None if even Bb=1 does not fit
-    (caller falls back to the XLA path)."""
-    per = mp * np_ * 4
+    ``bufs * Bb * M * Np * 4B + Bb * extra_bytes_per_item`` within ~13 MB;
+    None if even Bb=1 does not fit (caller falls back to the XLA path).
+
+    ``extra_bytes_per_item`` covers per-batch-item operand blocks beyond the
+    auction state — the fused kernel additionally holds the (Cp, Np) class
+    terms, the pbox/tbox coordinate rows and the cost-build intermediates in
+    VMEM (ADVICE r2: budgeting only the 6 auction buffers under-counted the
+    fused path for large class counts)."""
+    per = bufs * mp * np_ * 4 + extra_bytes_per_item
     for g in (16, 8, 4, 2, 1):
-        if b % g == 0 and 6 * g * per <= 13 * 1024 * 1024:
+        if b % g == 0 and g * per <= 13 * 1024 * 1024:
             return g
     return None
 
@@ -431,7 +438,12 @@ def hungarian_match_pallas(
                      constant_values=-1)
     colv = jnp.pad(col_valid.astype(jnp.int32), ((0, 0), (0, mp - t)))
 
-    bb = _pick_bb(b, mp, np_)
+    # fused path: beyond the auction state, VMEM holds the pn class-term
+    # block, the pbox/tbox coordinate rows, the labels/colv rows, and the
+    # unrolled class-cost accumulation (~2 extra (Mp, Np) live values beyond
+    # the 6-buffer auction estimate -> bufs=8)
+    extra = (cp * np_ + 8 * np_ + 8 * mp_lane + 3 * mp) * 4
+    bb = _pick_bb(b, mp, np_, extra_bytes_per_item=extra, bufs=8)
     if bb is None:  # too large for VMEM — two-step XLA path
         from ...losses.matcher import hungarian_cost_matrix
         from ..assignment import batched_assignment

@@ -77,6 +77,12 @@ def get_parser(model_name: str = "destr") -> argparse.ArgumentParser:
         p.add_argument("--scale_min", type=float, default=0.2)
         p.add_argument("--scale_max", type=float, default=0.9)
         p.add_argument("--image_size", type=int, default=300)
+        p.add_argument("--hard_neg_mining", type=str, default="reference",
+                       choices=["reference", "paper"],
+                       help="negative mining direction: 'reference' keeps the "
+                            "easiest negatives (the reference's inverted sort, "
+                            "criterion.py:329-332); 'paper' keeps the "
+                            "highest-loss negatives (SSD-paper semantics)")
     else:
         raise ValueError(f"unknown model {model_name!r}")
     return p
@@ -127,6 +133,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         scale_max=getattr(args, "scale_max", 0.9),
         image_size=getattr(args, "image_size", 300) if model_name == "ssd" else 300,
         compute_dtype=args.compute_dtype,
+        hard_neg_mining=getattr(args, "hard_neg_mining", "reference"),
     )
     data = DataConfig(
         dataset=args.dataset,

@@ -178,7 +178,8 @@ def make_ssd_train_step(model, tx, cfg: TrainConfig, ssd_cfg: SSDConfig) -> Call
             mutable=["batch_stats"],
         )
         targets = _destr_targets(batch)  # boxes already cxcyhw for SSD
-        losses = ssd_criterion(outputs, targets, anchors, loss_coef=cfg.coef_class_loss)
+        losses = ssd_criterion(outputs, targets, anchors, loss_coef=cfg.coef_class_loss,
+                               mining=ssd_cfg.hard_neg_mining)
         return losses["loss"], (mutated.get("batch_stats", batch_stats), losses)
 
     @partial(jax.jit, donate_argnums=(0,))
@@ -203,7 +204,8 @@ def make_ssd_eval_step(model, cfg: TrainConfig, ssd_cfg: SSDConfig) -> Callable:
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = model.apply(variables, batch["images"], train=False)
         targets = _destr_targets(batch)
-        losses = ssd_criterion(outputs, targets, anchors, loss_coef=cfg.coef_class_loss)
+        losses = ssd_criterion(outputs, targets, anchors, loss_coef=cfg.coef_class_loss,
+                               mining=ssd_cfg.hard_neg_mining)
         # decoded detections in the metric's contract ({"pred_class" logits,
         # "pred_boxes" cxcyhw}) — the reference builds the SSD metric but
         # leaves it commented out (train_ssd.py:71-74); here it's wired

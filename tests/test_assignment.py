@@ -189,7 +189,16 @@ def test_pick_bb_vmem_sizing():
     bb = _pick_bb(8, 304, 384)  # CLI shape that OOMed at bb=8
     assert bb is not None and bb * 304 * 384 * 4 * 6 <= 13 * 1024 * 1024
     assert _pick_bb(1, 304, 1152) == 1  # dilated 1333px shape fits at 1
-    assert _pick_bb(3, 304, 384) in (1, None) or True  # odd batches still divide
+    assert _pick_bb(3, 304, 384) == 1  # odd batches divide down to 1
+    # fused-path accounting (ADVICE r2): extra operand bytes and the larger
+    # live-buffer count shrink the block for big class counts instead of
+    # letting the kernel exceed the budget at compile
+    cp, np_ = 96, 512  # COCO-scale classes, 640px tokens
+    extra = (cp * np_ + 8 * np_ + 8 * 384 + 3 * 304) * 4
+    bb_fused = _pick_bb(8, 304, 512, extra_bytes_per_item=extra, bufs=8)
+    assert bb_fused is not None
+    assert bb_fused * (8 * 304 * 512 * 4 + extra) <= 13 * 1024 * 1024
+    assert bb_fused <= _pick_bb(8, 304, 512)  # never larger than the plain pick
 
 
 def test_fused_kernel_cli_shape_t300():

@@ -200,3 +200,60 @@ def test_set_criterion_grads_finite():
     grads = jax.grad(loss_fn)(dict(outputs))
     for g in jax.tree.leaves(grads):
         assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_ssd_mining_paper_selects_hardest_negatives():
+    """REFCOMPAT configurable quirk #5: "paper" keeps the lowest-background-
+    confidence negatives, "reference" the highest. On a problem where some
+    negatives have near-zero background confidence, the paper-mode class loss
+    must be strictly larger (it sums the most-negative background log-probs),
+    and a brute-force recomputation of both selections must agree."""
+    rng = np.random.default_rng(14)
+    outputs, targets, anchors = _tiny_ssd_problem(rng)
+    # spread background confidence wide so the two directions differ sharply
+    outputs = {
+        "boxes": outputs["boxes"],
+        "conf": [
+            c.at[..., -1].add(
+                jnp.asarray(rng.normal(scale=4.0, size=c.shape[:-1]), jnp.float32)
+            )
+            for c in outputs["conf"]
+        ],
+    }
+    ref = float(ssd_criterion(outputs, targets, anchors, mining="reference")["class"])
+    pap = float(ssd_criterion(outputs, targets, anchors, mining="paper")["class"])
+    assert np.isfinite(ref) and np.isfinite(pap)
+    assert pap > ref  # hardest negatives carry more loss than easiest
+
+    # brute-force both selections from the flat log-softmax
+    import scipy.special  # noqa: F401  (numpy-only below; keep import-free)
+    from object_detection_destr_tpu.geometry.boxes import cxcyhw_to_xyxy
+    from object_detection_destr_tpu.losses.matcher import decode_ssd_boxes, ssd_match
+
+    flat_conf = np.concatenate(
+        [np.asarray(c).reshape(c.shape[0], -1, c.shape[-1]) for c in outputs["conf"]],
+        axis=1,
+    )
+    flat_boxes = np.concatenate(
+        [np.asarray(bx).reshape(bx.shape[0], -1, 4) for bx in outputs["boxes"]], axis=1
+    )
+    decoded = cxcyhw_to_xyxy(decode_ssd_boxes(jnp.asarray(flat_boxes), anchors))
+    match, positive = ssd_match(
+        decoded, cxcyhw_to_xyxy(targets["boxes"]), targets["valid"], 0.5
+    )
+    match, positive = np.asarray(match), np.asarray(positive)
+    logz = flat_conf - scipy.special.logsumexp(flat_conf, axis=-1, keepdims=True)
+    for mode, got in (("reference", ref), ("paper", pap)):
+        per_img = []
+        for i in range(flat_conf.shape[0]):
+            pos_ll = sum(  # match is (B, S, T): anchor-major
+                logz[i, s, targets["labels"][i, t]]
+                for s in range(match.shape[1])
+                for t in range(match.shape[2])
+                if match[i, s, t]
+            )
+            neg_bg = np.sort(logz[i, ~positive[i], -1])
+            n_keep = min(3 * int(positive[i].sum()), neg_bg.size)
+            kept = neg_bg[:n_keep] if mode == "paper" else neg_bg[::-1][:n_keep]
+            per_img.append(-(pos_ll + kept.sum()))
+        np.testing.assert_allclose(np.mean(per_img), got, rtol=2e-5)

@@ -101,6 +101,7 @@ def run_reference(args, images, box_list, orders, val_images, val_boxes):
     from tools.ref_torch_models import (
         _ensure_reference_importable,
         build_reference_destr,
+        repair_reference_minidet_bn,
         zero_reference_dropout,
     )
 
@@ -131,7 +132,16 @@ def run_reference(args, images, box_list, orders, val_images, val_boxes):
     torch.manual_seed(args.seed)
     model = build_reference_destr(A())
     zero_reference_dropout(model)
+    # init_sd is captured in the reference's native (defective) key layout —
+    # destr_variables_from_torch expects it and routes the misplaced BNs back
     init_sd = {k: v.clone() for k, v in model.state_dict().items()}
+    if getattr(args, "repair_bn", False):
+        # Strongest-baseline mode (VERDICT r2 #1): run the reference with its
+        # mini-detector BN wiring repaired so its loss actually optimizes,
+        # instead of beating a trainer frozen by its own defect. At a fresh
+        # init every BN is identity in eval mode, so both sides still start
+        # from identical effective weights.
+        repair_reference_minidet_bn(model)
 
     # the reference's __main__ optimizer (train.py:240-251); with
     # lr_backbone>0 the reference trains layer2-4 and freezes stem+layer1
@@ -331,6 +341,11 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=2e-4)
     ap.add_argument("--lr-backbone", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument(
+        "--repair-bn", action="store_true",
+        help="run the reference with its mini-detector BN wiring repaired "
+             "(strongest baseline; REFCOMPAT #1)",
+    )
     args = ap.parse_args(argv)
 
     images, box_list = build_shared_data(
@@ -356,6 +371,7 @@ def main(argv=None):
             "size": args.train_size, "batch": args.batch,
             "epochs": args.epochs, "blocks": args.blocks,
             "top_k": args.top_k, "lr": args.lr,
+            "max_boxes": args.max_boxes, "repair_bn": bool(args.repair_bn),
         },
         "init_loss_ref": round(ref_l0, 4),
         "init_loss_ours": round(ours_l0, 4),

@@ -147,7 +147,8 @@ def run_reference(args, images, box_list, label_list, orders, val_images):
     return init_sd, preds, hist, time.time() - t0
 
 
-def run_ours(args, init_sd, images, box_list, label_list, orders, val_images):
+def run_ours(args, init_sd, images, box_list, label_list, orders, val_images,
+             mining="reference"):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -160,7 +161,7 @@ def run_ours(args, init_sd, images, box_list, label_list, orders, val_images):
     from object_detection_destr_tpu.train.state import TrainState
     from object_detection_destr_tpu.train.steps import make_ssd_train_step
 
-    ssd_cfg = SSDConfig(num_cls=args.num_cls)
+    ssd_cfg = SSDConfig(num_cls=args.num_cls, hard_neg_mining=mining)
     train_cfg = TrainConfig(
         lr=args.lr, lr_backbone=args.lr_backbone, batch_size=args.batch,
         max_targets=args.max_boxes,
@@ -271,6 +272,12 @@ def main(argv=None):
     ap.add_argument("--lr", type=float, default=3e-4)
     ap.add_argument("--lr-backbone", type=float, default=1e-4)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--mining", type=str, default="reference",
+                    choices=["reference", "paper", "both"],
+                    help="our side's hard-negative mining direction; 'both' "
+                         "trains our side twice and reports both (REFCOMPAT "
+                         "configurable quirk #5 — the reference's sort keeps "
+                         "the easiest negatives)")
     args = ap.parse_args(argv)
     size = 300  # the extra-block pyramid closes only at 300px
 
@@ -285,24 +292,28 @@ def main(argv=None):
     init_sd, ref_preds, ref_hist, ref_t = run_reference(
         args, images, box_list, label_list, orders, val_images
     )
-    ours_preds, ours_hist, ours_t = run_ours(
-        args, init_sd, images, box_list, label_list, orders, val_images
-    )
     ref_map = score(args, ref_preds, val_boxes, val_labels)
-    ours_map = score(args, ours_preds, val_boxes, val_labels)
 
+    modes = ["reference", "paper"] if args.mining == "both" else [args.mining]
     result = {
         "protocol": {"train": args.num_train, "val": args.num_val,
                      "size": size, "batch": args.batch, "epochs": args.epochs,
                      "num_cls": args.num_cls, "lr": args.lr},
         "ref_map": round(ref_map, 4),
-        "ours_map": round(ours_map, 4),
-        "gap_pts": round((ours_map - ref_map) * 100, 2),
         "ref_loss_curve": [round(x, 2) for x in ref_hist],
-        "ours_loss_curve": [round(x, 2) for x in ours_hist],
         "ref_seconds": round(ref_t, 1),
-        "ours_seconds": round(ours_t, 1),
     }
+    for mode in modes:
+        ours_preds, ours_hist, ours_t = run_ours(
+            args, init_sd, images, box_list, label_list, orders, val_images,
+            mining=mode,
+        )
+        ours_map = score(args, ours_preds, val_boxes, val_labels)
+        sfx = "" if mode == "reference" else f"_{mode}"
+        result[f"ours_map{sfx}"] = round(ours_map, 4)
+        result[f"gap_pts{sfx}"] = round((ours_map - ref_map) * 100, 2)
+        result[f"ours_loss_curve{sfx}"] = [round(x, 2) for x in ours_hist]
+        result[f"ours_seconds{sfx}"] = round(ours_t, 1)
     print(json.dumps(result))
     return result
 

@@ -263,6 +263,38 @@ def build_reference_ssd(args):
     return build_model(args)
 
 
+def repair_reference_minidet_bn(model):
+    """Rewire the reference MiniDetector's misplaced BatchNorms in place
+    (REFCOMPAT #1 / SURVEY §2.1 #6): the reference appends the reg- and
+    pos-stack BNs to ``self._cls_conv`` (mini_detector.py:45,58), so its cls
+    path runs 4 convs + 12 interleaved BNs while the reg/pos paths run bare
+    convs — and its training loss freezes from ~epoch 4 (BASELINE.md r2 A/B).
+    The repair moves ``_cls_conv[8+i]`` to reg layer i and ``_cls_conv[12+i]``
+    to pos layer i, interleaved conv,BN like the cls stack — the evident
+    intent, and exactly the wiring this repo's fixed mini-detector uses (the
+    converter routes the same indices, models/convert.py:267-287).
+
+    Parameter objects are moved, not copied, so an optimizer built before or
+    after the repair sees the identical parameter set. Call AFTER capturing
+    ``state_dict()`` if the defective-layout keys are needed for
+    ``destr_variables_from_torch``.
+    """
+    for md in model.modules():
+        if type(md).__name__ != "MiniDetector":
+            continue
+        if len(md._cls_conv) != 16:
+            continue  # already repaired (or a different build)
+        mods = list(md._cls_conv)
+        md._cls_conv = nn.ModuleList(mods[:8])
+        md._reg_conv = nn.ModuleList(
+            m for pair in zip(md._reg_conv, mods[8:12]) for m in pair
+        )
+        md._pos_conv = nn.ModuleList(
+            m for pair in zip(md._pos_conv, mods[12:16]) for m in pair
+        )
+    return model
+
+
 def zero_reference_dropout(model):
     """Make a reference model deterministic for parity/AB runs: zero every
     ``nn.Dropout.p`` AND the defective in-forward dropout probability of the
