@@ -45,6 +45,12 @@ class DestrConfig:
     # measured -8% device step time at 640px/b8 and +14% at 7056 tokens
     # (BASELINE.md). True/False force it.
     use_flash_attention: bool | str = "auto"
+    # set to the mesh data-axis name (e.g. "data") when the train step runs
+    # under shard_map: mini-detector BatchNorms then compute GLOBAL batch
+    # statistics via lax.pmean (flax axis_name), keeping multi-device train
+    # math identical to single-device. Must stay None outside shard_map
+    # (the axis would be unbound).
+    bn_axis_name: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)
@@ -65,6 +71,8 @@ class SSDConfig:
     # reference's inverted sort (criterion.py:329-332); "paper" keeps the
     # highest-loss negatives (SSD-paper semantics)
     hard_neg_mining: str = "reference"
+    # see DestrConfig.bn_axis_name — same contract for the SSD BatchNorms
+    bn_axis_name: Optional[str] = None
 
     @property
     def scales(self) -> list[float]:

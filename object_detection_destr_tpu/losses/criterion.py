@@ -37,6 +37,7 @@ def set_criterion(
     background_class: int | None = None,
     ciou_mode: str = "elementwise",
     rows: jnp.ndarray | None = None,
+    axis_name: str | None = None,
 ) -> dict[str, jnp.ndarray]:
     """DETR-style set criterion.
 
@@ -53,6 +54,11 @@ def set_criterion(
             feeds *all pairs* of the matched sets into the mean).
         rows: optional precomputed assignment (B, T) to share one matcher
             solve across criteria.
+        axis_name: mesh data-axis name when called per-shard inside
+            ``shard_map``. The batch reductions then psum/pmean across
+            shards, so the returned losses equal the GLOBAL-batch criterion
+            exactly (in particular the images-with-matches denominator of
+            bbox/ciou spans the whole batch, not the local shard).
 
     Returns:
         {"class", "bbox", "ciou"} scalar losses, batch-reduced exactly like
@@ -114,11 +120,19 @@ def set_criterion(
 
     # ---- batch reduction (criterion.py:73-78) --------------------------
     has_match = (n_match > 0).astype(jnp.float32)
-    num_with = jnp.maximum(jnp.sum(has_match), 1.0)
+    if axis_name is None:
+        num_with = jnp.maximum(jnp.sum(has_match), 1.0)
+        return {
+            "class": jnp.mean(class_loss),
+            "bbox": jnp.sum(l1 * has_match) / num_with,
+            "ciou": jnp.sum(ciou * has_match) / num_with,
+        }
+    # per-shard call under shard_map: global-batch semantics via collectives
+    num_with = jnp.maximum(jax.lax.psum(jnp.sum(has_match), axis_name), 1.0)
     return {
-        "class": jnp.mean(class_loss),
-        "bbox": jnp.sum(l1 * has_match) / num_with,
-        "ciou": jnp.sum(ciou * has_match) / num_with,
+        "class": jax.lax.pmean(jnp.mean(class_loss), axis_name),
+        "bbox": jax.lax.psum(jnp.sum(l1 * has_match), axis_name) / num_with,
+        "ciou": jax.lax.psum(jnp.sum(ciou * has_match), axis_name) / num_with,
     }
 
 

@@ -34,7 +34,7 @@ from flax import linen as nn
 
 from ...geometry.embeddings import inverse_sigmoid, sine_embed_centers
 from ...ops.attention import combine_heads, scaled_dot_product_attention, split_heads
-from ...ops.pallas.flash_attention import flash_attention_trainable
+from ...ops.pallas.flash_attention import flash_attention_packed
 from .layers import Mlp, attention_dropout_seed
 from .pair_attention import pair_self_attention
 
@@ -66,13 +66,12 @@ class ClsRegBranch(nn.Module):
         if self.use_flash:
             # fused Pallas path: d_qk = 2C, d_v = C (kernel supports dv != d);
             # the long axis here is S_k = HW (up to 7056 dilated), exactly
-            # where streaming K/V tiles beats the materialized logits matrix
+            # where streaming K/V tiles beats the materialized logits matrix.
+            # Head-packed entry with num_heads=1: no head axes to add/remove.
             rate, seed = attention_dropout_seed(self, self.dropout, deterministic)
-            ca4 = flash_attention_trainable(
-                query[:, None], key[:, None], value[:, None],
-                key_valid_mask, seed, rate,
+            ca = flash_attention_packed(
+                query, key, value, 1, key_valid_mask, seed, rate,
             )
-            ca = ca4[:, 0]
         else:
             ca = scaled_dot_product_attention(
                 query[:, None], key[:, None], value[:, None],
@@ -120,18 +119,19 @@ class DecoderBlock(nn.Module):
         k_obj = dense_nb(2 * c, "sa_k_obj")(obj)
         k_pos = dense_nb(c, "sa_k_pos")(obj_pos_embed)
         k_pos = jnp.concatenate([k_pos, k_pos], axis=-1)
-        v = split_heads(dense_nb(2 * c, "sa_v_obj")(obj), h2)
-        q = split_heads(q_obj + q_pos, h2)
-        k = split_heads(k_obj + k_pos, h2)
+        v_m = dense_nb(2 * c, "sa_v_obj")(obj)
+        q_m = q_obj + q_pos
+        k_m = k_obj + k_pos
+        # pre-split views feed the pair branch (its gathers are head-resolved)
+        q, k, v = split_heads(q_m, h2), split_heads(k_m, h2), split_heads(v_m, h2)
 
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         if self.use_flash:
-            # fused path for the plain self-attention branch (the pair
-            # branch's exotic structure stays XLA)
+            # head-packed fused path for the plain self-attention branch (the
+            # pair branch's exotic structure stays XLA): operands stay
+            # (B, S, 2C), no split/merge transposes
             rate, seed = attention_dropout_seed(self, self.dropout, deterministic)
-            o1_4 = flash_attention_trainable(q, k, v, None, seed, rate)
-            b_, h_, s_, d_ = o1_4.shape
-            o1 = o1_4.transpose(0, 2, 1, 3).reshape(b_, s_, h_ * d_)
+            o1 = flash_attention_packed(q_m, k_m, v_m, h2, None, seed, rate)
         else:
             o1 = scaled_dot_product_attention(
                 q, k, v,

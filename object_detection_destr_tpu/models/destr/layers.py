@@ -9,7 +9,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.attention import scaled_dot_product_attention, split_heads
-from ...ops.pallas.flash_attention import flash_attention_trainable
+from ...ops.pallas.flash_attention import flash_attention_packed
 
 __all__ = [
     "Mlp",
@@ -115,17 +115,13 @@ class MultiHeadAttention(nn.Module):
         k = nn.Dense(d, dtype=self.dtype, name="k_proj")(key)
         v = nn.Dense(d, dtype=self.dtype, name="v_proj")(value)
         if self.use_flash:
+            # head-packed kernel: q/k/v stay (B, S, h*d) — no split_heads
+            # transposes in or out (the r2 profile charged ~6.8 ms/step of
+            # pad/transpose glue to the unpacked call sites, BASELINE.md)
             rate, seed = attention_dropout_seed(self, self.dropout, deterministic)
-            out4 = flash_attention_trainable(
-                split_heads(q, self.num_heads),
-                split_heads(k, self.num_heads),
-                split_heads(v, self.num_heads),
-                key_valid_mask,
-                seed,
-                rate,
+            out = flash_attention_packed(
+                q, k, v, self.num_heads, key_valid_mask, seed, rate,
             )
-            b_, h_, s_, d_ = out4.shape
-            out = out4.transpose(0, 2, 1, 3).reshape(b_, s_, h_ * d_)
         else:
             rng = None
             if not deterministic and self.dropout > 0:

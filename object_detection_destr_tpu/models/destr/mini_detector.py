@@ -40,13 +40,17 @@ class ConvBnStack(nn.Module):
     hidden_dim: int = 256
     num_layers: int = 4
     dtype: jnp.dtype = jnp.float32
+    # mesh data-axis name under shard_map: BN statistics pmean over it so
+    # multi-device training normalizes over the GLOBAL batch (flax axis_name)
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         for i in range(self.num_layers):
             x = nn.Conv(self.hidden_dim, (3, 3), padding="SAME", dtype=self.dtype, name=f"conv{i}")(x)
             x = nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, dtype=self.dtype, name=f"bn{i}"
+                use_running_average=not train, momentum=0.9, dtype=self.dtype,
+                axis_name=self.bn_axis_name if train else None, name=f"bn{i}",
             )(x)
         return x
 
@@ -70,6 +74,7 @@ class MiniDetector(nn.Module):
     pos_head: nn.Module  # shared MLP C -> C -> C -> 2 (reference `reg_ffn`)
     hidden_dim: int = 256
     dtype: jnp.dtype = jnp.float32
+    bn_axis_name: str | None = None
 
     @nn.compact
     def __call__(
@@ -85,15 +90,15 @@ class MiniDetector(nn.Module):
         def mask_tokens(t):
             return jnp.where(flat_valid[..., None], t, 0.0)
 
-        cls_x = ConvBnStack(self.hidden_dim, dtype=self.dtype, name="cls_conv")(features, train)
+        cls_x = ConvBnStack(self.hidden_dim, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="cls_conv")(features, train)
         cls_feats = mask_tokens(cls_x.reshape(b, h * w, c))
         det_class = self.cls_embed(cls_feats)  # (B, HW, num_cls) logits
 
-        pos_x = ConvBnStack(self.hidden_dim, dtype=self.dtype, name="pos_conv")(fine_pos, train)
+        pos_x = ConvBnStack(self.hidden_dim, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="pos_conv")(fine_pos, train)
         pos_feats = mask_tokens(pos_x.reshape(b, h * w, c))
         center_offset = self.pos_head(pos_feats)  # (B, HW, 2)
 
-        reg_x = ConvBnStack(self.hidden_dim, dtype=self.dtype, name="reg_conv")(features, train)
+        reg_x = ConvBnStack(self.hidden_dim, dtype=self.dtype, bn_axis_name=self.bn_axis_name, name="reg_conv")(features, train)
         reg_feats = mask_tokens(reg_x.reshape(b, h * w, c))
         bbox = self.bbox_embed(reg_feats)  # (B, HW, 4)
         bbox = bbox.at[..., :2].add(center_offset)

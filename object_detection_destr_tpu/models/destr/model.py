@@ -100,6 +100,7 @@ class DESTR(nn.Module):
             pos_head=self.pos_head,
             hidden_dim=c,
             dtype=dtype,
+            bn_axis_name=cfg.bn_axis_name,
             name="mini_detector",
         )
 

@@ -54,10 +54,14 @@ class ExtraBlock(nn.Module):
     out: int
     stride2: bool
     dtype: jnp.dtype = jnp.float32
+    bn_axis_name: str | None = None  # see DestrConfig.bn_axis_name
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9, dtype=self.dtype, name=name)
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, dtype=self.dtype,
+            axis_name=self.bn_axis_name if train else None, name=name,
+        )
         x = nn.relu(bn("bn1")(nn.Conv(self.mid, (1, 1), use_bias=False, dtype=self.dtype, name="conv1")(x)))
         if self.stride2:
             x = nn.Conv(self.out, (3, 3), strides=(2, 2), padding="SAME", use_bias=False, dtype=self.dtype, name="conv2")(x)
@@ -86,7 +90,8 @@ class SSD(nn.Module):
         features = [x]
         dims = [(1024, 1024), (256, 512), (128, 256), (128, 256), (128, 256)]
         for i, (mid, out) in enumerate(dims):
-            x = ExtraBlock(mid, out, stride2=(i < 3), dtype=compute_dtype, name=f"extra{i}")(x, train)
+            x = ExtraBlock(mid, out, stride2=(i < 3), dtype=compute_dtype,
+                           bn_axis_name=cfg.bn_axis_name, name=f"extra{i}")(x, train)
             features.append(x)
 
         outputs = {"boxes": [], "conf": []}

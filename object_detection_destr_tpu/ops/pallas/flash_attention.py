@@ -42,7 +42,12 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["flash_attention", "flash_attention_trainable", "dropout_keep_mask"]
+__all__ = [
+    "flash_attention",
+    "flash_attention_trainable",
+    "flash_attention_packed",
+    "dropout_keep_mask",
+]
 
 NEG_INF = -1e9
 LANES = 128  # per-row stats are broadcast across one lane register
@@ -96,9 +101,11 @@ def dropout_keep_mask(seed, bh: int, sq_pad: int, sk_pad: int, rate: float):
     return keep.astype(jnp.int32)
 
 
-def _tile_keep(drop_mode, seed_or_mask_ref, bh, iq, jk, shape, rate):
+def _tile_keep(drop_mode, seed_or_mask_ref, bh, iq, jk, shape, rate, head=None):
     if drop_mode == "prng":
         return _prng_keep(seed_or_mask_ref, bh, iq, jk, shape, rate)
+    if head is not None:
+        return seed_or_mask_ref[0, head] > 0  # packed (1, H, bq, bk) block
     return seed_or_mask_ref[0] > 0  # materialized (1, bq, bk) block
 
 
@@ -520,3 +527,450 @@ def _bwd_rule(dropout_rate, scale, block_q, block_k, interpret, residuals, d_out
 
 
 flash_attention_trainable.defvjp(_fwd_rule, _bwd_rule)
+
+
+# ---------------------------------------------------------------------------
+# head-packed variant: (B, S, h*d) layout, zero call-site glue
+# ---------------------------------------------------------------------------
+#
+# The (B, h, S, d) kernels above force every call site through
+# ``split_heads`` — a (B, S, h, d) -> (B, h, S, d) transpose per operand plus
+# the inverse on the output. The r2 profile attributed ~6.8 ms/step of the
+# b8/640 DESTR step to this pad/transpose glue (BASELINE.md). Reading head
+# blocks directly from (B, S, h, d) is blocked by Mosaic's last-two-dims rule
+# (a per-head block has sublane dim 1), so this variant keeps the activation
+# layout the MODULES already have — (B, S, h*d), heads packed on lanes — and
+# slices each head's d lanes inside the kernel (static 32-lane slices,
+# probe-verified to lower on this Mosaic version). Grid is (B, n_q, n_k);
+# per-head running max/denominator stats live in lane-block hh of a
+# (bq, h*LANES) scratch, so every slice is 128-aligned.
+#
+# Dropout seeds use bh = i*num_heads + hh, so the packed kernels draw
+# bit-identical keep masks to the unpacked kernels for the same seed.
+
+
+def _head(x, hh: int, d: int):
+    return x[:, hh * d : (hh + 1) * d]
+
+
+def _fwd_kernel_packed(
+    *refs, scale: float, rate: float, drop_mode: str, n_k: int,
+    num_heads: int, d: int, dv: int,
+):
+    if drop_mode == "none":
+        q_ref, k_ref, v_ref, mask_ref, o_ref, lse_ref, acc, m_scr, l_scr = refs
+        drop_ref = None
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, drop_ref, o_ref, lse_ref,
+         acc, m_scr, l_scr) = refs
+    bi, iq, jk = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(jk == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc[...] = jnp.zeros_like(acc)
+
+    q = q_ref[0]  # (bq, h*d)
+    k = k_ref[0]  # (bk, h*d)
+    v = v_ref[0]  # (bk, h*dv)
+    valid = mask_ref[0, 0, :] > 0  # (bk,)
+
+    for hh in range(num_heads):
+        s = jax.lax.dot_general(
+            _head(q, hh, d), _head(k, hh, d), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale  # (bq, bk) f32
+        s = jnp.where(valid[None, :], s, NEG_INF)
+
+        m_prev = m_scr[:, hh * LANES : hh * LANES + 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+        l_new = l_scr[:, hh * LANES : hh * LANES + 1] * alpha + jnp.sum(
+            p, axis=-1, keepdims=True
+        )
+
+        if rate > 0.0:
+            keep = _tile_keep(
+                drop_mode, drop_ref, bi * num_heads + hh, iq, jk, p.shape, rate,
+                head=hh,
+            )
+            p_acc = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        else:
+            p_acc = p
+        pv = jax.lax.dot_general(
+            p_acc.astype(v.dtype), _head(v, hh, dv), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (bq, dv)
+        acc[:, hh * dv : (hh + 1) * dv] = (
+            acc[:, hh * dv : (hh + 1) * dv] * alpha + pv
+        )
+        m_scr[:, hh * LANES : (hh + 1) * LANES] = jnp.broadcast_to(
+            m_new, (m_new.shape[0], LANES)
+        )
+        l_scr[:, hh * LANES : (hh + 1) * LANES] = jnp.broadcast_to(
+            l_new, (l_new.shape[0], LANES)
+        )
+
+    @pl.when(jk == n_k - 1)
+    def _():
+        out = acc[...]
+        for hh in range(num_heads):
+            l_h = l_scr[:, hh * LANES : hh * LANES + 1]
+            o_ref[0, :, hh * dv : (hh + 1) * dv] = (
+                out[:, hh * dv : (hh + 1) * dv] / l_h
+            ).astype(o_ref.dtype)
+            lse_ref[0, :, hh * LANES : (hh + 1) * LANES] = jnp.broadcast_to(
+                m_scr[:, hh * LANES : hh * LANES + 1] + jnp.log(l_h),
+                (l_h.shape[0], LANES),
+            )
+
+
+def _prep_inputs_packed(query, key, value, key_valid_mask, sq_pad, sk_pad):
+    b, sq, _ = query.shape
+    sk = key.shape[1]
+    qf = jnp.pad(query, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    kf = jnp.pad(key, ((0, 0), (0, sk_pad - sk), (0, 0)))
+    vf = jnp.pad(value, ((0, 0), (0, sk_pad - sk), (0, 0)))
+    if key_valid_mask is None:
+        key_valid_mask = jnp.ones((b, sk), bool)
+    mask = jnp.pad(key_valid_mask.astype(jnp.int32), ((0, 0), (0, sk_pad - sk)))
+    return qf, kf, vf, mask[:, None, :]
+
+
+def _drop_operand_packed(drop_mode, dropout_seed, b, h, sq_pad, sk_pad, rate):
+    if drop_mode == "prng":
+        return jnp.asarray(dropout_seed, jnp.int32).reshape(1)
+    if drop_mode == "mask":
+        m = dropout_keep_mask(dropout_seed, b * h, sq_pad, sk_pad, rate)
+        return m.reshape(b, h, sq_pad, sk_pad)
+    return None
+
+
+def _drop_spec_packed(drop_mode, h, bq, bk, index_map):
+    if drop_mode == "prng":
+        return pl.BlockSpec(memory_space=pltpu.SMEM)
+    return pl.BlockSpec((1, h, bq, bk), index_map, memory_space=pltpu.VMEM)
+
+
+def _fwd_impl_packed(
+    query, key, value, num_heads, key_valid_mask, dropout_seed,
+    dropout_rate, scale, block_q, block_k, interpret,
+):
+    b, sq, hd = query.shape
+    sk, hdv = key.shape[1], value.shape[-1]
+    d, dv = hd // num_heads, hdv // num_heads
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    drop_mode, interpret = _resolve(dropout_rate, dropout_seed, interpret)
+
+    bq, bk, sq_pad, sk_pad = _plan(sq, sk, block_q, block_k)
+    n_q, n_k = sq_pad // bq, sk_pad // bk
+    qf, kf, vf, mask3 = _prep_inputs_packed(
+        query, key, value, key_valid_mask, sq_pad, sk_pad
+    )
+
+    vmem = pltpu.VMEM
+    in_specs = [
+        pl.BlockSpec((1, bq, hd), lambda i, iq, jk: (i, iq, 0), memory_space=vmem),
+        pl.BlockSpec((1, bk, hd), lambda i, iq, jk: (i, jk, 0), memory_space=vmem),
+        pl.BlockSpec((1, bk, hdv), lambda i, iq, jk: (i, jk, 0), memory_space=vmem),
+        pl.BlockSpec((1, 1, bk), lambda i, iq, jk: (i, 0, jk), memory_space=vmem),
+    ]
+    operands = [qf, kf, vf, mask3]
+    if drop_mode != "none":
+        in_specs.append(
+            _drop_spec_packed(
+                drop_mode, num_heads, bq, bk, lambda i, iq, jk: (i, 0, iq, jk)
+            )
+        )
+        operands.append(
+            _drop_operand_packed(
+                drop_mode, dropout_seed, b, num_heads, sq_pad, sk_pad, dropout_rate
+            )
+        )
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _fwd_kernel_packed, scale=scale, rate=dropout_rate,
+            drop_mode=drop_mode, n_k=n_k, num_heads=num_heads, d=d, dv=dv,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, sq_pad, hdv), query.dtype),
+            jax.ShapeDtypeStruct((b, sq_pad, num_heads * LANES), jnp.float32),
+        ),
+        grid=(b, n_q, n_k),
+        in_specs=in_specs,
+        out_specs=(
+            pl.BlockSpec((1, bq, hdv), lambda i, iq, jk: (i, iq, 0), memory_space=vmem),
+            pl.BlockSpec(
+                (1, bq, num_heads * LANES), lambda i, iq, jk: (i, iq, 0),
+                memory_space=vmem,
+            ),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((bq, hdv), jnp.float32),
+            pltpu.VMEM((bq, num_heads * LANES), jnp.float32),
+            pltpu.VMEM((bq, num_heads * LANES), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return out[:, :sq], lse
+
+
+def _dq_kernel_packed(
+    *refs, scale: float, rate: float, drop_mode: str, n_k: int,
+    num_heads: int, d: int, dv: int,
+):
+    if drop_mode == "none":
+        q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref, dq_ref, dq_acc = refs
+        drop_ref = None
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, drop_ref, do_ref, o_ref, lse_ref,
+         dq_ref, dq_acc) = refs
+    bi, iq, jk = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(jk == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    valid = mask_ref[0, 0, :] > 0
+    for hh in range(num_heads):
+        do = _head(do_ref[0], hh, dv).astype(jnp.float32)
+        s = jax.lax.dot_general(
+            _head(q, hh, d), _head(k, hh, d), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(valid[None, :], s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0][:, hh * LANES : hh * LANES + 1])
+
+        dp = jax.lax.dot_general(
+            do, _head(v, hh, dv).astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            keep = _tile_keep(
+                drop_mode, drop_ref, bi * num_heads + hh, iq, jk, p.shape, rate,
+                head=hh,
+            )
+            dp = jnp.where(keep, dp * (1.0 / (1.0 - rate)), 0.0)
+        d_diag = jnp.sum(
+            do * _head(o_ref[0], hh, dv).astype(jnp.float32), axis=-1, keepdims=True
+        )
+        ds = p * (dp - d_diag)
+        dq_acc[:, hh * d : (hh + 1) * d] += jax.lax.dot_general(
+            ds, _head(k, hh, d).astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+
+    @pl.when(jk == n_k - 1)
+    def _():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+
+def _dkv_kernel_packed(
+    *refs, scale: float, rate: float, drop_mode: str, n_q: int,
+    num_heads: int, d: int, dv: int,
+):
+    if drop_mode == "none":
+        (q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+        drop_ref = None
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, drop_ref, do_ref, o_ref, lse_ref,
+         dk_ref, dv_ref, dk_acc, dv_acc) = refs
+    bi, jk, iq = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(iq == 0)
+    def _():
+        dk_acc[...] = jnp.zeros_like(dk_acc)
+        dv_acc[...] = jnp.zeros_like(dv_acc)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    valid = mask_ref[0, 0, :] > 0
+    for hh in range(num_heads):
+        do = _head(do_ref[0], hh, dv).astype(jnp.float32)
+        s = jax.lax.dot_general(
+            _head(q, hh, d), _head(k, hh, d), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(valid[None, :], s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0][:, hh * LANES : hh * LANES + 1])
+
+        dp = jax.lax.dot_general(
+            do, _head(v, hh, dv).astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            keep = _tile_keep(
+                drop_mode, drop_ref, bi * num_heads + hh, iq, jk, p.shape, rate,
+                head=hh,
+            )
+            inv = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p * inv, 0.0)
+            dp = jnp.where(keep, dp * inv, 0.0)
+        else:
+            pd = p
+        d_diag = jnp.sum(
+            do * _head(o_ref[0], hh, dv).astype(jnp.float32), axis=-1, keepdims=True
+        )
+        ds = p * (dp - d_diag)
+        dk_acc[:, hh * d : (hh + 1) * d] += jax.lax.dot_general(
+            ds, _head(q, hh, d).astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dv_acc[:, hh * dv : (hh + 1) * dv] += jax.lax.dot_general(
+            pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(iq == n_q - 1)
+    def _():
+        dk_ref[0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _bwd_impl_packed(
+    query, key, value, num_heads, key_valid_mask, dropout_seed, out, lse,
+    d_out, dropout_rate, scale, block_q, block_k, interpret,
+):
+    b, sq, hd = query.shape
+    sk, hdv = key.shape[1], value.shape[-1]
+    d, dv = hd // num_heads, hdv // num_heads
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    drop_mode, interpret = _resolve(dropout_rate, dropout_seed, interpret)
+
+    bq, bk, sq_pad, sk_pad = _plan(sq, sk, block_q, block_k)
+    n_q, n_k = sq_pad // bq, sk_pad // bk
+    qf, kf, vf, mask3 = _prep_inputs_packed(
+        query, key, value, key_valid_mask, sq_pad, sk_pad
+    )
+    pad_q = lambda t: jnp.pad(t, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    dof, of = pad_q(d_out), pad_q(out)
+    drop_op = _drop_operand_packed(
+        drop_mode, dropout_seed, b, num_heads, sq_pad, sk_pad, dropout_rate
+    )
+
+    vmem = pltpu.VMEM
+    hl = num_heads * LANES
+    q_spec = lambda im: pl.BlockSpec((1, bq, hd), im, memory_space=vmem)
+    k_spec = lambda im: pl.BlockSpec((1, bk, hd), im, memory_space=vmem)
+    v_spec = lambda im: pl.BlockSpec((1, bk, hdv), im, memory_space=vmem)
+    qo_spec = lambda im: pl.BlockSpec((1, bq, hdv), im, memory_space=vmem)
+    lse_spec = lambda im: pl.BlockSpec((1, bq, hl), im, memory_space=vmem)
+    mask_spec = lambda im: pl.BlockSpec((1, 1, bk), im, memory_space=vmem)
+
+    # --- dQ: grid (b, iq, jk) ---------------------------------------------
+    im_q = lambda i, iq, jk: (i, iq, 0)
+    im_k = lambda i, iq, jk: (i, jk, 0)
+    im_m = lambda i, iq, jk: (i, 0, jk)
+    in_specs = [q_spec(im_q), k_spec(im_k), v_spec(im_k), mask_spec(im_m)]
+    operands = [qf, kf, vf, mask3]
+    if drop_mode != "none":
+        in_specs.append(
+            _drop_spec_packed(
+                drop_mode, num_heads, bq, bk, lambda i, iq, jk: (i, 0, iq, jk)
+            )
+        )
+        operands.append(drop_op)
+    in_specs += [qo_spec(im_q), qo_spec(im_q), lse_spec(im_q)]
+    operands += [dof, of, lse]
+    dq = pl.pallas_call(
+        functools.partial(
+            _dq_kernel_packed, scale=scale, rate=dropout_rate,
+            drop_mode=drop_mode, n_k=n_k, num_heads=num_heads, d=d, dv=dv,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, sq_pad, hd), query.dtype),
+        grid=(b, n_q, n_k),
+        in_specs=in_specs,
+        out_specs=q_spec(im_q),
+        scratch_shapes=[pltpu.VMEM((bq, hd), jnp.float32)],
+        interpret=interpret,
+    )(*operands)
+
+    # --- dK/dV: grid (b, jk, iq) -------------------------------------------
+    im_q2 = lambda i, jk, iq: (i, iq, 0)
+    im_k2 = lambda i, jk, iq: (i, jk, 0)
+    im_m2 = lambda i, jk, iq: (i, 0, jk)
+    in_specs = [q_spec(im_q2), k_spec(im_k2), v_spec(im_k2), mask_spec(im_m2)]
+    operands = [qf, kf, vf, mask3]
+    if drop_mode != "none":
+        in_specs.append(
+            _drop_spec_packed(
+                drop_mode, num_heads, bq, bk, lambda i, jk, iq: (i, 0, iq, jk)
+            )
+        )
+        operands.append(drop_op)
+    in_specs += [qo_spec(im_q2), qo_spec(im_q2), lse_spec(im_q2)]
+    operands += [dof, of, lse]
+    dk, dv_grad = pl.pallas_call(
+        functools.partial(
+            _dkv_kernel_packed, scale=scale, rate=dropout_rate,
+            drop_mode=drop_mode, n_q=n_q, num_heads=num_heads, d=d, dv=dv,
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, sk_pad, hd), key.dtype),
+            jax.ShapeDtypeStruct((b, sk_pad, hdv), value.dtype),
+        ),
+        grid=(b, n_k, n_q),
+        in_specs=in_specs,
+        out_specs=(k_spec(im_k2), v_spec(im_k2)),
+        scratch_shapes=[
+            pltpu.VMEM((bk, hd), jnp.float32),
+            pltpu.VMEM((bk, hdv), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*operands)
+    return dq[:, :sq], dk[:, :sk], dv_grad[:, :sk]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 6, 7, 8, 9, 10))
+def flash_attention_packed(
+    query, key, value, num_heads, key_valid_mask=None, dropout_seed=None,
+    dropout_rate=0.0, scale=None, block_q=512, block_k=512, interpret=None,
+):
+    """Head-packed fused masked attention with a Pallas backward pass.
+
+    Args:
+        query: (B, Sq, h*d); key: (B, Sk, h*d); value: (B, Sk, h*dv) — heads
+            packed on the lane (feature) dimension, exactly the layout the
+            transformer modules hold, so call sites need NO split_heads
+            transposes or output re-merges.
+        num_heads: static head count (``scale`` defaults to 1/sqrt(d)).
+        key_valid_mask: (B, Sk) bool, True = attendable.
+
+    Returns:
+        (B, Sq, h*dv) in the query dtype.
+
+    Draws bit-identical dropout masks to :func:`flash_attention_trainable`
+    for the same seed (per-tile seeding uses bh = batch*num_heads + head).
+    """
+    out, _ = _fwd_impl_packed(
+        query, key, value, num_heads, key_valid_mask, dropout_seed,
+        dropout_rate, scale, block_q, block_k, interpret,
+    )
+    return out
+
+
+def _fwd_rule_packed(query, key, value, num_heads, key_valid_mask, dropout_seed,
+                     dropout_rate, scale, block_q, block_k, interpret):
+    out, lse = _fwd_impl_packed(
+        query, key, value, num_heads, key_valid_mask, dropout_seed,
+        dropout_rate, scale, block_q, block_k, interpret,
+    )
+    return out, (query, key, value, key_valid_mask, dropout_seed, out, lse)
+
+
+def _bwd_rule_packed(num_heads, dropout_rate, scale, block_q, block_k,
+                     interpret, residuals, d_out):
+    query, key, value, key_valid_mask, dropout_seed, out, lse = residuals
+    dq, dk, dv = _bwd_impl_packed(
+        query, key, value, num_heads, key_valid_mask, dropout_seed, out, lse,
+        d_out, dropout_rate, scale, block_q, block_k, interpret,
+    )
+    return dq, dk, dv, None, None
+
+
+flash_attention_packed.defvjp(_fwd_rule_packed, _bwd_rule_packed)

@@ -17,6 +17,7 @@ TPU-first differences:
 
 from __future__ import annotations
 
+import dataclasses
 import time
 from typing import Callable
 
@@ -142,10 +143,17 @@ def train_destr(config: Config, mesh=None) -> dict:
     """Train DESTR; returns {"best_val", "map", "state"}."""
     cfg_t = config.train
     mesh = mesh or _default_mesh(cfg_t)
-    model = build_destr(config.destr)
+    # >1 data shard: steps run under shard_map (Pallas kernels partition by
+    # construction) and the mini-detector BNs sync statistics over the mesh
+    step_mesh = mesh if mesh.shape["data"] > 1 else None
+    destr_cfg = (
+        dataclasses.replace(config.destr, bn_axis_name="data")
+        if step_mesh is not None else config.destr
+    )
+    model = build_destr(destr_cfg)
     state, tx = create_destr_state(model, cfg_t, image_size=cfg_t.image_size)
-    train_step = make_destr_train_step(model, tx, cfg_t)
-    eval_step = make_destr_eval_step(model, cfg_t)
+    train_step = make_destr_train_step(model, tx, cfg_t, mesh=step_mesh)
+    eval_step = make_destr_eval_step(model, cfg_t, mesh=step_mesh)
     metric = MeanAveragePrecision(num_cls=1, num_pred=config.destr.top_k)
     coco_metric = (
         CocoAveragePrecision(num_cls=max(config.destr.num_cls - 1, 1))
@@ -276,10 +284,15 @@ def train_ssd(config: Config, mesh=None) -> dict:
     """Train SSD; returns {"best_val", "state"}."""
     cfg_t = config.train
     mesh = mesh or _default_mesh(cfg_t)
-    model = build_ssd(config.ssd)
-    state, tx = create_ssd_state(model, cfg_t, image_size=config.ssd.image_size)
-    train_step = make_ssd_train_step(model, tx, cfg_t, config.ssd)
-    eval_step = make_ssd_eval_step(model, cfg_t, config.ssd)
+    step_mesh = mesh if mesh.shape["data"] > 1 else None
+    ssd_cfg = (
+        dataclasses.replace(config.ssd, bn_axis_name="data")
+        if step_mesh is not None else config.ssd
+    )
+    model = build_ssd(ssd_cfg)
+    state, tx = create_ssd_state(model, cfg_t, image_size=ssd_cfg.image_size)
+    train_step = make_ssd_train_step(model, tx, cfg_t, ssd_cfg, mesh=step_mesh)
+    eval_step = make_ssd_eval_step(model, cfg_t, ssd_cfg, mesh=step_mesh)
     metric = MeanAveragePrecision(num_cls=config.ssd.num_cls)
 
     canvas = int(config.ssd.image_size * 1.28)  # headroom for the random patch

@@ -136,12 +136,17 @@ def build_optimizer(
     accumulation (``optax.MultiSteps`` — the reference has none, SURVEY.md
     §2.2 lists it as an optional wrapper for large effective batches).
 
-    ``fused="auto"`` selects the flat single-fusion AdamW
-    (:func:`fused_adamw`, same math) on TPU, the per-leaf
-    ``optax.multi_transform`` elsewhere; True/False force it.
+    ``fused=True`` selects the flat single-fusion AdamW (:func:`fused_adamw`,
+    same math). MEASURED TPU REGRESSION (r3, b8/640 DESTR): the flat form
+    took the step 47.6 -> ~101.7 ms — ravel/unravel forces a per-leaf tiled
+    -> linear relayout (two ~22/11 ms reshape ops + concatenates in the
+    profile), far exceeding the ~8 ms per-leaf tail it was meant to remove.
+    ``"auto"`` therefore resolves to the per-leaf path everywhere; the fused
+    form stays available (and parity-tested) for future jaxlibs where
+    flattening is layout-free.
     """
     if fused == "auto":
-        fused = jax.default_backend() == "tpu"
+        fused = False
     if fused:
         tx = fused_adamw(params, lr, lr_backbone, weight_decay=weight_decay)
     else:

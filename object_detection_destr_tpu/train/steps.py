@@ -14,10 +14,11 @@ and train_ssd.py:108-134 for SSD.
 from __future__ import annotations
 
 from functools import partial
-from typing import Callable
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..config import SSDConfig, TrainConfig
 from ..geometry.boxes import default_boxes
@@ -25,6 +26,40 @@ from ..losses.criterion import set_criterion, ssd_criterion
 from ..losses.matcher import hungarian_cost_matrix
 from ..ops.assignment import batched_assignment
 from .state import TrainState
+
+# Mesh-aware steps (VERDICT r2 #3): when a ``mesh`` is passed, the step body
+# runs under ``shard_map`` over the 'data' axis — every operand the Pallas
+# kernels (fused matcher, flash attention) see is the LOCAL batch shard, so a
+# real multi-chip mesh partitions them by construction instead of XLA
+# replicating/all-gathering a kernel it has no partitioning rule for. The
+# only collectives in the step are the gradient psum, the criterion's
+# global-batch reductions, and the mini-detector BN pmean (flax axis_name) —
+# all riding ICI. Losses/grads equal the single-device global-batch math
+# exactly (see set_criterion(axis_name=...)).
+
+
+def _axis_of(mesh: Optional[Mesh]) -> Optional[str]:
+    return "data" if mesh is not None else None
+
+
+def _wrap_step(core, mesh: Optional[Mesh], out_specs, donate: bool):
+    """jit(core) without a mesh; jit(shard_map(core)) over ('data',) with one.
+
+    in_specs: state replicated, batch sharded on the leading axis.
+    """
+    if mesh is None:
+        return (
+            jax.jit(core, donate_argnums=(0,)) if donate else jax.jit(core)
+        )
+    from jax.experimental.shard_map import shard_map
+
+    smapped = shard_map(
+        core, mesh=mesh, in_specs=(P(), P("data")), out_specs=out_specs,
+        check_rep=False,
+    )
+    return (
+        jax.jit(smapped, donate_argnums=(0,)) if donate else jax.jit(smapped)
+    )
 
 __all__ = [
     "make_destr_train_step",
@@ -67,9 +102,14 @@ def _match_pair(model_out: dict, det_out: dict, targets: dict):
     import os
 
     sg = jax.lax.stop_gradient
-    if jax.default_backend() == "tpu" and not os.environ.get(
+    use_pallas = jax.default_backend() == "tpu" and not os.environ.get(
         "OBJDET_NO_PALLAS_MATCHER"
-    ):
+    )
+    # OBJDET_FORCE_PALLAS_MATCHER=1 routes the fused kernel on any platform
+    # (interpret mode off-TPU) — the multi-chip dry run uses it so the gate
+    # exercises the kernel path TPU actually runs (VERDICT r2 #4)
+    use_pallas = use_pallas or bool(os.environ.get("OBJDET_FORCE_PALLAS_MATCHER"))
+    if use_pallas:
         from ..ops.pallas.auction import hungarian_match_pallas
 
         tb, tl, tv = sg(targets["boxes"]), targets["labels"], targets["valid"]
@@ -94,7 +134,11 @@ def _match_pair(model_out: dict, det_out: dict, targets: dict):
     return rows[:b], rows[b:]
 
 
-def make_destr_train_step(model, tx, cfg: TrainConfig) -> Callable:
+def make_destr_train_step(
+    model, tx, cfg: TrainConfig, mesh: Optional[Mesh] = None
+) -> Callable:
+    axis = _axis_of(mesh)
+
     def loss_fn(params, batch_stats, rng, batch):
         variables = {"params": params, "batch_stats": batch_stats}
         (model_out, det_out), mutated = model.apply(
@@ -107,8 +151,8 @@ def make_destr_train_step(model, tx, cfg: TrainConfig) -> Callable:
         )
         targets = _destr_targets(batch)
         rows_model, rows_det = _match_pair(model_out, det_out, targets)
-        l_model = set_criterion(model_out, targets, rows=rows_model)
-        l_det = set_criterion(det_out, targets, rows=rows_det)
+        l_model = set_criterion(model_out, targets, rows=rows_model, axis_name=axis)
+        l_det = set_criterion(det_out, targets, rows=rows_det, axis_name=axis)
         loss_model = _weighted(l_model, cfg)
         loss_det = _weighted(l_det, cfg)
         loss = cfg.model_loss_weight * loss_model + cfg.det_loss_weight * loss_det
@@ -121,20 +165,29 @@ def make_destr_train_step(model, tx, cfg: TrainConfig) -> Callable:
         }
         return loss, (mutated.get("batch_stats", batch_stats), metrics)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
         rng, step_rng = jax.random.split(state.rng)
+        if axis is not None:
+            # distinct dropout draws per shard; state rng stays replicated
+            step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis))
         grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, step_rng, batch
         )
+        if axis is not None:
+            # the loss is already the GLOBAL-batch loss (criterion psums), so
+            # each shard's grad is its data's contribution — psum completes it
+            grads = jax.lax.psum(grads, axis)
         new_state = state.apply_gradients(grads, tx, batch_stats=new_stats, rng=rng)
         return new_state, metrics
 
-    return train_step
+    return _wrap_step(train_step, mesh, out_specs=(P(), P()), donate=True)
 
 
-def make_destr_eval_step(model, cfg: TrainConfig) -> Callable:
-    @jax.jit
+def make_destr_eval_step(
+    model, cfg: TrainConfig, mesh: Optional[Mesh] = None
+) -> Callable:
+    axis = _axis_of(mesh)
+
     def eval_step(state: TrainState, batch: dict):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         model_out, det_out = model.apply(
@@ -143,8 +196,8 @@ def make_destr_eval_step(model, cfg: TrainConfig) -> Callable:
         )
         targets = _destr_targets(batch)
         rows_model, rows_det = _match_pair(model_out, det_out, targets)
-        l_model = set_criterion(model_out, targets, rows=rows_model)
-        l_det = set_criterion(det_out, targets, rows=rows_det)
+        l_model = set_criterion(model_out, targets, rows=rows_model, axis_name=axis)
+        l_det = set_criterion(det_out, targets, rows=rows_det, axis_name=axis)
         metrics = {
             "loss_model": _weighted(l_model, cfg),
             "loss_det": _weighted(l_det, cfg),
@@ -153,7 +206,8 @@ def make_destr_eval_step(model, cfg: TrainConfig) -> Callable:
         }
         return model_out, metrics
 
-    return eval_step
+    # model_out reassembles across shards (P('data')); metrics are global
+    return _wrap_step(eval_step, mesh, out_specs=(P("data"), P()), donate=False)
 
 
 def flat_anchors(ssd_cfg: SSDConfig) -> jnp.ndarray:
@@ -165,8 +219,11 @@ def flat_anchors(ssd_cfg: SSDConfig) -> jnp.ndarray:
     return jnp.concatenate([a.reshape(-1, 4) for a in per_scale], axis=0)
 
 
-def make_ssd_train_step(model, tx, cfg: TrainConfig, ssd_cfg: SSDConfig) -> Callable:
+def make_ssd_train_step(
+    model, tx, cfg: TrainConfig, ssd_cfg: SSDConfig, mesh: Optional[Mesh] = None
+) -> Callable:
     anchors = flat_anchors(ssd_cfg)
+    axis = _axis_of(mesh)
 
     def loss_fn(params, batch_stats, rng, batch):
         variables = {"params": params, "batch_stats": batch_stats}
@@ -182,24 +239,32 @@ def make_ssd_train_step(model, tx, cfg: TrainConfig, ssd_cfg: SSDConfig) -> Call
                                mining=ssd_cfg.hard_neg_mining)
         return losses["loss"], (mutated.get("batch_stats", batch_stats), losses)
 
-    @partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: dict):
         rng, step_rng = jax.random.split(state.rng)
+        if axis is not None:
+            step_rng = jax.random.fold_in(step_rng, jax.lax.axis_index(axis))
         grads, (new_stats, metrics) = jax.grad(loss_fn, has_aux=True)(
             state.params, state.batch_stats, step_rng, batch
         )
+        if axis is not None:
+            # SSD losses are per-image means, so the global loss is the pmean
+            # of equal-size shard means — classic DP reduction
+            grads = jax.lax.pmean(grads, axis)
+            metrics = jax.lax.pmean(metrics, axis)
         new_state = state.apply_gradients(grads, tx, batch_stats=new_stats, rng=rng)
         return new_state, metrics
 
-    return train_step
+    return _wrap_step(train_step, mesh, out_specs=(P(), P()), donate=True)
 
 
-def make_ssd_eval_step(model, cfg: TrainConfig, ssd_cfg: SSDConfig) -> Callable:
+def make_ssd_eval_step(
+    model, cfg: TrainConfig, ssd_cfg: SSDConfig, mesh: Optional[Mesh] = None
+) -> Callable:
     from ..losses.matcher import decode_ssd_boxes
 
     anchors = flat_anchors(ssd_cfg)
+    axis = _axis_of(mesh)
 
-    @jax.jit
     def eval_step(state: TrainState, batch: dict):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
         outputs = model.apply(variables, batch["images"], train=False)
@@ -216,6 +281,11 @@ def make_ssd_eval_step(model, cfg: TrainConfig, ssd_cfg: SSDConfig) -> Callable:
             "pred_class": flat(outputs["conf"]),
             "pred_boxes": decode_ssd_boxes(flat(outputs["boxes"]), anchors),
         }
+        if axis is not None:
+            losses = jax.lax.pmean(losses, axis)
         return outputs, losses, detections
 
-    return eval_step
+    # per-shard outputs/detections reassemble on 'data'; losses are global
+    return _wrap_step(
+        eval_step, mesh, out_specs=(P("data"), P(), P("data")), donate=False
+    )

@@ -405,3 +405,138 @@ def test_decoder_self_attn_flash_path_matches_xla():
     o0 = m0.apply(params, *args)
     o1 = Wrap(True).apply(params, *args)
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1), atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# head-packed kernel (r3): (B, S, h*d) layout, no call-site transposes
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("sq,sk,h,d,dv", [
+    (16, 16, 4, 32, 32),
+    (100, 130, 8, 32, 32),
+    (24, 40, 1, 64, 32),   # single head, dv != d (ClsRegBranch geometry)
+    (12, 400, 8, 64, 32),  # decoder cross-attn geometry
+])
+def test_flash_packed_matches_xla(sq, sk, h, d, dv):
+    from object_detection_destr_tpu.ops.attention import combine_heads, split_heads
+    from object_detection_destr_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(10)
+    b = 2
+    q = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h * dv)).astype(np.float32))
+    mask = np.ones((b, sk), bool)
+    mask[0, sk // 2 :] = False
+    mask = jnp.asarray(mask)
+
+    ours = flash_attention_packed(q, k, v, h, mask, None, 0.0, None, 32, 128, True)
+    ref = scaled_dot_product_attention(
+        split_heads(q, h), split_heads(k, h), split_heads(v, h),
+        key_valid_mask=mask,
+    )  # (B, Sq, h*dv), heads merged
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_packed_grads_match_xla():
+    from object_detection_destr_tpu.ops.attention import split_heads
+    from object_detection_destr_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(11)
+    b, h, sq, sk, d = 2, 4, 24, 40, 32
+    q = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    mask = np.ones((b, sk), bool)
+    mask[0, 30:] = False
+    mask = jnp.asarray(mask)
+    w = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+
+    def loss_packed(q, k, v):
+        out = flash_attention_packed(q, k, v, h, mask, None, 0.0, None, 16, 128, True)
+        return jnp.sum(out * w)
+
+    def loss_xla(q, k, v):
+        ref = scaled_dot_product_attention(
+            split_heads(q, h), split_heads(k, h), split_heads(v, h),
+            key_valid_mask=mask,
+        )
+        return jnp.sum(ref * w)
+
+    gp = jax.grad(loss_packed, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, bb, name in zip(gp, gx, "qkv"):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=3e-4, atol=3e-5,
+            err_msg=f"d{name} mismatch (packed)",
+        )
+
+
+def test_flash_packed_dropout_matches_unpacked_masks():
+    """Same seed => bit-identical keep masks to the unpacked kernel
+    (per-tile seeding uses bh = batch*num_heads + head), so outputs agree."""
+    from object_detection_destr_tpu.ops.attention import split_heads
+    from object_detection_destr_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed,
+        flash_attention_trainable,
+    )
+
+    rng = np.random.default_rng(12)
+    b, h, s, d = 2, 4, 32, 32
+    rate, seed = 0.3, 1234
+    q = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+
+    packed = flash_attention_packed(
+        q, k, v, h, None, seed, rate, None, 32, 128, True
+    )
+    unpacked4 = flash_attention_trainable(
+        split_heads(q, h), split_heads(k, h), split_heads(v, h),
+        None, seed, rate, None, 32, 128, True,
+    )
+    b_, h_, s_, d_ = unpacked4.shape
+    unpacked = unpacked4.transpose(0, 2, 1, 3).reshape(b_, s_, h_ * d_)
+    np.testing.assert_allclose(np.asarray(packed), np.asarray(unpacked), atol=2e-6)
+
+
+def test_flash_packed_full_pad_row_is_finite():
+    from object_detection_destr_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed,
+    )
+
+    b, h, s, d = 1, 2, 16, 32
+    q = jnp.ones((b, s, h * d))
+    k = jnp.ones((b, s, h * d))
+    v = jnp.ones((b, s, h * d))
+    mask = jnp.zeros((b, s), bool)
+    out = flash_attention_packed(q, k, v, h, mask, None, 0.0, None, 8, 128, True)
+    assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_flash_packed_multi_tile():
+    """Multiple q AND k tiles exercise the running-stat recurrence per head."""
+    from object_detection_destr_tpu.ops.attention import split_heads
+    from object_detection_destr_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(13)
+    b, h, sq, sk, d = 1, 8, 80, 300, 32
+    q = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    mask = np.ones((b, sk), bool)
+    mask[0, 257:] = False
+    mask = jnp.asarray(mask)
+    ours = flash_attention_packed(q, k, v, h, mask, None, 0.0, None, 32, 128, True)
+    ref = scaled_dot_product_attention(
+        split_heads(q, h), split_heads(k, h), split_heads(v, h),
+        key_valid_mask=mask,
+    )
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-5)

@@ -32,8 +32,21 @@ def test_shard_batch_splits_leading_axis():
 
 
 def test_dryrun_multichip_entrypoint():
-    """The driver's multi-chip validation path: full DESTR train step over the
-    8-device mesh."""
+    """The driver's multi-chip validation plumbing (fast variant: tiny
+    shapes, same shard_map mesh path). The full production-representative
+    gate (hidden 256, 6+6, top_k 300, 160px, interpret Pallas, checkpoint
+    round-trip) runs in the slow suite and by the round driver itself."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __graft_entry__
+
+    __graft_entry__._dryrun(8, production=False)
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_production_config():
+    """The REAL driver gate: production-representative shapes under the mesh
+    (VERDICT r2 #4)."""
     import sys
     sys.path.insert(0, "/root/repo")
     import __graft_entry__
@@ -140,3 +153,150 @@ def test_pallas_auction_under_data_sharding():
         batched_assignment(jnp.asarray(cost), jnp.asarray(valid))
     )
     np.testing.assert_array_equal(rows, rows_ref)
+
+
+# ---------------------------------------------------------------------------
+# shard_map-wrapped steps (r3, VERDICT r2 #3): Pallas kernels partition by
+# construction; losses/grads keep global-batch semantics exactly
+# ---------------------------------------------------------------------------
+
+
+def _tiny_destr_batch(rng, b=8, t=4, size=64):
+    return {
+        "images": rng.normal(size=(b, size, size, 3)).astype(np.float32),
+        "boxes": np.stack(
+            [
+                rng.uniform(0.1, 0.4, size=(b, t)),
+                rng.uniform(0.1, 0.4, size=(b, t)),
+                rng.uniform(0.5, 0.9, size=(b, t)),
+                rng.uniform(0.5, 0.9, size=(b, t)),
+            ],
+            -1,
+        ).astype(np.float32),
+        "labels": np.zeros((b, t), np.int32),
+        "valid": np.ones((b, t), bool),
+    }
+
+
+def test_shard_map_step_matches_single_device():
+    """The shard_map-wrapped train step (mesh passed to the factory) must
+    reproduce the single-device step: criterion reductions psum to the
+    global batch and BN stats pmean over the mesh (flax axis_name)."""
+    import dataclasses
+
+    from object_detection_destr_tpu.config import DestrConfig, TrainConfig
+    from object_detection_destr_tpu.models.destr.model import build_destr
+    from object_detection_destr_tpu.train.state import create_destr_state
+    from object_detection_destr_tpu.train.steps import make_destr_train_step
+
+    config = DestrConfig(
+        hidden_dim=32, num_heads=4, num_encoder_blocks=1, num_decoder_blocks=1,
+        top_k=4, ffn_dim=64, dropout=0.0,
+    )
+    train_cfg = TrainConfig(batch_size=8, image_size=64, lr=1e-3, lr_backbone=1e-3)
+    model_s = build_destr(config)
+    state, tx = create_destr_state(model_s, train_cfg, image_size=64)
+    step_s = make_destr_train_step(model_s, tx, train_cfg)
+
+    rng = np.random.default_rng(5)
+    batch = _tiny_destr_batch(rng)
+
+    state_s = jax.tree.map(lambda x: jnp.copy(x), state)
+    state_s, metrics_s = step_s(state_s, jax.tree.map(jnp.asarray, batch))
+
+    mesh = make_mesh()
+    model_p = build_destr(dataclasses.replace(config, bn_axis_name="data"))
+    step_p = make_destr_train_step(model_p, tx, train_cfg, mesh=mesh)
+    state_p = jax.device_put(state, replicated_sharding(mesh))
+    state_p, metrics_p = step_p(state_p, shard_batch(batch, mesh))
+
+    m_s, m_p = jax.device_get(metrics_s), jax.device_get(metrics_p)
+    for k in m_s:
+        np.testing.assert_allclose(m_s[k], m_p[k], rtol=2e-4, atol=2e-5)
+    for name in ("cls_embed", "bbox_embed"):
+        a = jax.device_get(jax.tree.leaves(state_s.params[name]))
+        bb = jax.device_get(jax.tree.leaves(state_p.params[name]))
+        for x, y in zip(a, bb):
+            np.testing.assert_allclose(x, y, rtol=2e-3, atol=2e-5)
+    # BN running stats must also agree (axis_name pmean = global batch stats)
+    bn_s = jax.device_get(
+        state_s.batch_stats["mini_detector"]["cls_conv"]["bn0"]["mean"]
+    )
+    bn_p = jax.device_get(
+        state_p.batch_stats["mini_detector"]["cls_conv"]["bn0"]["mean"]
+    )
+    np.testing.assert_allclose(bn_s, bn_p, rtol=2e-4, atol=2e-5)
+
+
+def test_shard_map_step_hlo_has_no_all_gather():
+    """A pallas_call inside a jitted sharded step has no partitioning rule —
+    XLA would all-gather its operands (the r2 silent perf cliff). Under
+    shard_map every kernel sees only its local shard, so the compiled step
+    must contain NO all-gather at all: only all-reduce (grad psum, criterion
+    reductions, BN pmean)."""
+    import dataclasses
+
+    from object_detection_destr_tpu.config import DestrConfig, TrainConfig
+    from object_detection_destr_tpu.models.destr.model import build_destr
+    from object_detection_destr_tpu.train.state import create_destr_state
+    from object_detection_destr_tpu.train.steps import make_destr_train_step
+
+    config = DestrConfig(
+        hidden_dim=32, num_heads=4, num_encoder_blocks=1, num_decoder_blocks=1,
+        top_k=4, ffn_dim=64, dropout=0.0, bn_axis_name="data",
+    )
+    train_cfg = TrainConfig(batch_size=8, image_size=64, lr=1e-3, lr_backbone=1e-3)
+    model = build_destr(config)
+    state, tx = create_destr_state(
+        model, train_cfg, image_size=64
+    )
+    mesh = make_mesh()
+    step = make_destr_train_step(model, tx, train_cfg, mesh=mesh)
+
+    rng = np.random.default_rng(6)
+    batch = shard_batch(_tiny_destr_batch(rng), mesh)
+    state = jax.device_put(state, replicated_sharding(mesh))
+    compiled = jax.jit(lambda s, b: step(s, b)).lower(state, batch).compile()
+    hlo = compiled.as_text()
+    assert "all-gather" not in hlo, "sharded step must not all-gather operands"
+    assert "all-reduce" in hlo  # grads/criterion/BN collectives present
+
+
+def test_flash_packed_under_shard_map():
+    """Sharded flash attention (interpret mode on the CPU mesh): per-shard
+    kernel launches must agree with the unsharded result."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from object_detection_destr_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(7)
+    b, s, h, d = 8, 40, 4, 32
+    q = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[0, 30:] = False
+    mask = jnp.asarray(mask)
+
+    ref = flash_attention_packed(q, k, v, h, mask, None, 0.0, None, 16, 128, True)
+
+    mesh = make_mesh()
+    fn = lambda q, k, v, m: flash_attention_packed(
+        q, k, v, h, m, None, 0.0, None, 16, 128, True
+    )
+    sharded = shard_map(
+        fn, mesh=mesh,
+        in_specs=(P("data"), P("data"), P("data"), P("data")),
+        out_specs=P("data"), check_rep=False,
+    )
+    put = lambda t: jax.device_put(t, NamedSharding(mesh, P("data")))
+    out = jax.jit(sharded)(put(q), put(k), put(v), put(mask))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+    # and the lowered sharded computation must not all-gather kernel operands
+    hlo = jax.jit(sharded).lower(put(q), put(k), put(v), put(mask)).compile().as_text()
+    assert "all-gather" not in hlo

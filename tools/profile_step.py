@@ -74,34 +74,68 @@ def main() -> None:
     with gzip.open(traces[-1], "rt") as f:
         trace = json.load(f)
 
-    # device track pids (TPU/device names in process metadata)
-    pid_names = {}
+    summarize_trace(trace, args.steps, args.top)
+
+
+def summarize_trace(trace, steps: int, top: int) -> None:
+    """Grouped view of the device 'XLA Ops' track ONLY (no double counting
+    against the Steps / XLA Modules wrappers): per-hlo_category totals, then
+    the top ops with their long_name attribution."""
+    pid_names, tid_names = {}, {}
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") == "M" and ev.get("name") == "process_name":
             pid_names[ev["pid"]] = ev.get("args", {}).get("name", "")
+        if ev.get("ph") == "M" and ev.get("name") == "thread_name":
+            tid_names[(ev["pid"], ev["tid"])] = ev.get("args", {}).get("name", "")
     device_pids = {
         pid for pid, name in pid_names.items()
-        if any(k in name.lower() for k in ("tpu", "device", "axon", "xla"))
+        if any(k in name.lower() for k in ("tpu", "device", "axon"))
         and "host" not in name.lower()
     }
 
-    durations = defaultdict(float)
-    counts = defaultdict(int)
+    step_ms = [
+        float(ev["dur"]) / 1e3
+        for ev in trace.get("traceEvents", [])
+        if ev.get("ph") == "X" and ev.get("pid") in device_pids
+        and tid_names.get((ev["pid"], ev["tid"])) == "Steps"
+    ]
+
+    cat_dur, cat_cnt = defaultdict(float), defaultdict(int)
+    op_dur, op_cnt, op_long = defaultdict(float), defaultdict(int), {}
     total = 0.0
     for ev in trace.get("traceEvents", []):
         if ev.get("ph") != "X" or ev.get("pid") not in device_pids:
             continue
+        if tid_names.get((ev["pid"], ev["tid"])) != "XLA Ops":
+            continue
+        a = ev.get("args", {}) or {}
+        cat = a.get("hlo_category", "?")
         name = ev.get("name", "?")
-        dur = float(ev.get("dur", 0.0))  # microseconds
-        durations[name] += dur
-        counts[name] += 1
+        dur = float(ev.get("dur", 0.0))  # us
+        cat_dur[cat] += dur
+        cat_cnt[cat] += 1
+        op_dur[name] += dur
+        op_cnt[name] += 1
+        if name not in op_long:
+            op_long[name] = a.get("long_name", "")[:90]
         total += dur
 
-    print(f"pids seen: { {pid_names.get(p, p) for p in device_pids} }")
-    print(f"total device op time: {total / 1e3:.2f} ms over {args.steps} steps")
-    print(f"{'op':<70} {'ms':>9} {'%':>6} {'count':>6}")
-    for name, dur in sorted(durations.items(), key=lambda kv: -kv[1])[: args.top]:
-        print(f"{name[:70]:<70} {dur / 1e3:>9.2f} {100 * dur / max(total, 1e-9):>6.2f} {counts[name]:>6}")
+    if step_ms:
+        import statistics
+
+        print(f"step device time: median {statistics.median(step_ms):.2f} ms "
+              f"over {len(step_ms)} steps")
+    print(f"total XLA-op device time: {total / 1e3:.2f} ms over {steps} steps "
+          f"({total / 1e3 / max(steps, 1):.2f} ms/step)")
+    print(f"\n{'category':<28} {'ms/step':>9} {'%':>6} {'count/step':>10}")
+    for cat, dur in sorted(cat_dur.items(), key=lambda kv: -kv[1]):
+        print(f"{cat:<28} {dur / 1e3 / steps:>9.2f} "
+              f"{100 * dur / max(total, 1e-9):>6.2f} {cat_cnt[cat] // steps:>10}")
+    print(f"\n{'op':<40} {'ms/step':>8} {'%':>6} {'cnt':>4}  long_name")
+    for name, dur in sorted(op_dur.items(), key=lambda kv: -kv[1])[:top]:
+        print(f"{name[:40]:<40} {dur / 1e3 / steps:>8.2f} "
+              f"{100 * dur / max(total, 1e-9):>6.2f} {op_cnt[name] // steps:>4}  "
+              f"{op_long.get(name, '')}")
 
 
 if __name__ == "__main__":
