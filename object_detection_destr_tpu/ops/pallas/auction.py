@@ -268,8 +268,8 @@ def auction_assignment_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _fused_kernel(pn_ref, pbox_ref, tbox_ref, lab_ref, colv_ref, out_ref, *,
-                  n_real: int, m_real: int, num_cls: int, cost_class: float,
+def _fused_kernel(pn_ref, pbox_ref, tbox_ref, lab_ref, colv_ref, rowv_ref,
+                  out_ref, *, m_real: int, num_cls: int, cost_class: float,
                   cost_ciou: float, eps_frac: float, max_iters: int,
                   epsilon: float = 1e-6):
     """Build the DETR matching cost in VMEM and solve it in the same launch.
@@ -352,7 +352,10 @@ def _fused_kernel(pn_ref, pbox_ref, tbox_ref, lab_ref, colv_ref, out_ref, *,
     cost = cost_class * c_class + cost_ciou * c_ciou
     value = jnp.where(_elast(colv), -cost, 0.0)
 
-    row_real = jax.lax.broadcasted_iota(jnp.int32, (bb, 1, np_), 2) < n_real
+    # per-PROBLEM row validity (vs the old static n_real): lets problems with
+    # different real row counts (model top_k queries vs mini-detector HW
+    # tokens) share ONE kernel launch — _match_pair stacks them on batch
+    row_real = rowv_ref[:, 0:1, :] > 0  # (Bb, 1, Np)
     col_real = jax.lax.broadcasted_iota(jnp.int32, (bb, m), 1) < m_real
     value = jnp.where(row_real, value, -_BIG)
 
@@ -376,6 +379,7 @@ def hungarian_match_pallas(
     eps_frac: float = 0.001,
     max_iters: int = 256,
     interpret: bool | None = None,
+    row_valid: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Fused Hungarian matching: focal+CIoU cost built in VMEM feeding the
     single-launch auction. Equivalent to
@@ -388,6 +392,9 @@ def hungarian_match_pallas(
         tgt_boxes: (B, T, 4) xyxy.
         tgt_labels: (B, T) int.
         col_valid: (B, T) bool.
+        row_valid: optional (B, N) bool marking real prediction rows — lets
+            problems with different real row counts share one launch
+            (padded rows never win an assignment). Default: all rows real.
 
     Returns:
         (B, T) int32 query row per target (duplicate-free).
@@ -437,6 +444,9 @@ def hungarian_match_pallas(
     labels = jnp.pad(tgt_labels.astype(jnp.int32), ((0, 0), (0, mp - t)),
                      constant_values=-1)
     colv = jnp.pad(col_valid.astype(jnp.int32), ((0, 0), (0, mp - t)))
+    if row_valid is None:
+        row_valid = jnp.ones((b, n), bool)
+    rowv = jnp.pad(row_valid.astype(jnp.int32), ((0, 0), (0, np_ - n)))
 
     # fused path: beyond the auction state, VMEM holds the pn class-term
     # block, the pbox/tbox coordinate rows, the labels/colv rows, and the
@@ -453,11 +463,12 @@ def hungarian_match_pallas(
             {"boxes": tgt_boxes, "labels": tgt_labels, "valid": col_valid},
             cost_class, 0.0, cost_ciou,
         )
+        c = jnp.where(row_valid[:, :, None], c, 1e6)  # padded rows never win
         return batched_assignment(c, col_valid, eps_frac=eps_frac,
                                   max_iters=max_iters)
 
     out = pl.pallas_call(
-        partial(_fused_kernel, n_real=n, m_real=t, num_cls=num_cls,
+        partial(_fused_kernel, m_real=t, num_cls=num_cls,
                 cost_class=cost_class, cost_ciou=cost_ciou,
                 eps_frac=eps_frac, max_iters=max_iters),
         out_shape=jax.ShapeDtypeStruct((b, 1, mp), jnp.int32),
@@ -473,9 +484,11 @@ def hungarian_match_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bb, 1, mp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((bb, 1, np_), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bb, 1, mp), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(pn, pbox, tbox, labels[:, None, :], colv[:, None, :])
+    )(pn, pbox, tbox, labels[:, None, :], colv[:, None, :], rowv[:, None, :])
     return out[:, 0, :t]

@@ -654,10 +654,18 @@ def _drop_spec_packed(drop_mode, h, bq, bk, index_map):
     return pl.BlockSpec((1, h, bq, bk), index_map, memory_space=pltpu.VMEM)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "dropout_rate", "scale", "block_q",
+                     "block_k", "interpret"),
+)
 def _fwd_impl_packed(
     query, key, value, num_heads, key_valid_mask, dropout_seed,
     dropout_rate, scale, block_q, block_k, interpret,
 ):
+    # jitted so the N identical call sites per model share ONE trace/lowering
+    # (an unjitted pallas_call body re-traces per call site — measured ~5 min
+    # of host lowering for the 24-site DESTR step)
     b, sq, hd = query.shape
     sk, hdv = key.shape[1], value.shape[-1]
     d, dv = hd // num_heads, hdv // num_heads
@@ -831,6 +839,11 @@ def _dkv_kernel_packed(
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "dropout_rate", "scale", "block_q",
+                     "block_k", "interpret"),
+)
 def _bwd_impl_packed(
     query, key, value, num_heads, key_valid_mask, dropout_seed, out, lse,
     d_out, dropout_rate, scale, block_q, block_k, interpret,

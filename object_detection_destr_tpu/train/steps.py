@@ -113,13 +113,31 @@ def _match_pair(model_out: dict, det_out: dict, targets: dict):
         from ..ops.pallas.auction import hungarian_match_pallas
 
         tb, tl, tv = sg(targets["boxes"]), targets["labels"], targets["valid"]
-        rows1 = hungarian_match_pallas(
-            sg(model_out["pred_class"]), sg(model_out["pred_boxes"]), tb, tl, tv
+        # ONE kernel launch for both problems: the model's top_k queries and
+        # the mini-detector's HW tokens are padded to a common row count,
+        # stacked on batch, and separated by a per-problem row-valid mask
+        # (the second launch alone measured ~0.8 ms/step in the r3 profile)
+        b = model_out["pred_class"].shape[0]
+        n1 = model_out["pred_class"].shape[1]
+        n2 = det_out["pred_class"].shape[1]
+        n = max(n1, n2)
+        pad_n = lambda x, nn_: jnp.pad(x, ((0, 0), (0, n - nn_)) + ((0, 0),) * (x.ndim - 2))
+        logits = jnp.concatenate(
+            [pad_n(sg(model_out["pred_class"]), n1), pad_n(sg(det_out["pred_class"]), n2)], 0
         )
-        rows2 = hungarian_match_pallas(
-            sg(det_out["pred_class"]), sg(det_out["pred_boxes"]), tb, tl, tv
+        boxes = jnp.concatenate(
+            [pad_n(sg(model_out["pred_boxes"]), n1), pad_n(sg(det_out["pred_boxes"]), n2)], 0
         )
-        return rows1, rows2
+        iota_n = jnp.arange(n)[None, :]
+        rowv = jnp.concatenate(
+            [jnp.broadcast_to(iota_n < n1, (b, n)), jnp.broadcast_to(iota_n < n2, (b, n))], 0
+        )
+        rows = hungarian_match_pallas(
+            logits, boxes,
+            jnp.concatenate([tb, tb], 0), jnp.concatenate([tl, tl], 0),
+            jnp.concatenate([tv, tv], 0), row_valid=rowv,
+        )
+        return rows[:b], rows[b:]
 
     c1 = hungarian_cost_matrix(model_out, targets)  # (B, N1, T)
     c2 = hungarian_cost_matrix(det_out, targets)  # (B, N2, T)

@@ -243,3 +243,65 @@ def test_fused_kernel_cli_shape_t300():
         cr = cost[i][rows_ref[i][v], np.where(v)[0]].sum()
         assert abs(cf - cr) <= 0.01 * abs(cr) + 1e-3
         assert len(set(rows[i][v].tolist())) == v.sum()
+
+
+def test_fused_kernel_row_valid_stacking():
+    """row_valid lets two problems with different real row counts share one
+    launch (VERDICT r2 #2: the dual-solve fusion in _match_pair). The
+    stacked+masked solve must equal per-problem solves."""
+    import jax.numpy as jnp
+
+    from object_detection_destr_tpu.ops.pallas.auction import (
+        hungarian_match_pallas,
+    )
+
+    rng = np.random.default_rng(21)
+    b, t, c = 4, 6, 2
+    n1, n2 = 12, 20
+    n = max(n1, n2)
+
+    def problem(nn_):
+        logits = rng.normal(size=(b, nn_, c)).astype(np.float32)
+        boxes = np.stack(
+            [
+                rng.uniform(0.3, 0.7, size=(b, nn_)),
+                rng.uniform(0.3, 0.7, size=(b, nn_)),
+                rng.uniform(0.1, 0.3, size=(b, nn_)),
+                rng.uniform(0.1, 0.3, size=(b, nn_)),
+            ],
+            -1,
+        ).astype(np.float32)
+        return jnp.asarray(logits), jnp.asarray(boxes)
+
+    l1, b1 = problem(n1)
+    l2, b2 = problem(n2)
+    tb = jnp.asarray(
+        np.sort(rng.uniform(0.1, 0.9, size=(b, t, 4)).astype(np.float32), -1)
+    )
+    tl = jnp.zeros((b, t), jnp.int32)
+    tv = jnp.asarray(rng.random((b, t)) > 0.2)
+
+    r1 = hungarian_match_pallas(l1, b1, tb, tl, tv, interpret=True)
+    r2 = hungarian_match_pallas(l2, b2, tb, tl, tv, interpret=True)
+
+    pad = lambda x, nn_: jnp.pad(x, ((0, 0), (0, n - nn_)) + ((0, 0),) * (x.ndim - 2))
+    iota = np.arange(n)[None, :]
+    rowv = jnp.asarray(
+        np.concatenate(
+            [np.broadcast_to(iota < n1, (b, n)), np.broadcast_to(iota < n2, (b, n))], 0
+        )
+    )
+    stacked = hungarian_match_pallas(
+        jnp.concatenate([pad(l1, n1), pad(l2, n2)], 0),
+        jnp.concatenate([pad(b1, n1), pad(b2, n2)], 0),
+        jnp.concatenate([tb, tb], 0),
+        jnp.concatenate([tl, tl], 0),
+        jnp.concatenate([tv, tv], 0),
+        interpret=True,
+        row_valid=rowv,
+    )
+    np.testing.assert_array_equal(np.asarray(stacked[:b]), np.asarray(r1))
+    np.testing.assert_array_equal(np.asarray(stacked[b:]), np.asarray(r2))
+    # no padded row may ever be assigned to a valid target
+    assert np.all(np.asarray(stacked[:b])[np.asarray(tv)] < n1)
+    assert np.all(np.asarray(stacked[b:])[np.asarray(tv)] < n2)

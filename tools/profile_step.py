@@ -31,6 +31,8 @@ def main() -> None:
     ap.add_argument("--trace_dir", type=str, default="/tmp/destr_profile")
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--flash", action="store_true")
+    ap.add_argument("--backbone", type=str, default="resnet50")
+    ap.add_argument("--dilation", action="store_true")
     args = ap.parse_args()
 
     from object_detection_destr_tpu.config import DestrConfig, TrainConfig
@@ -38,7 +40,8 @@ def main() -> None:
     from object_detection_destr_tpu.train.state import create_destr_state
     from object_detection_destr_tpu.train.steps import make_destr_train_step
 
-    config = DestrConfig(compute_dtype="bfloat16", use_flash_attention=args.flash)
+    config = DestrConfig(compute_dtype="bfloat16", use_flash_attention=args.flash,
+                         backbone=args.backbone, dilation=args.dilation)
     train_cfg = TrainConfig(batch_size=args.batch, image_size=args.image)
     model = build_destr(config)
     state, tx = create_destr_state(model, train_cfg, image_size=args.image)
