@@ -113,6 +113,29 @@ def test_resnet_dilation_keeps_c5_resolution():
     assert out["layer4"].shape == (1, 14, 14, 2048)
 
 
+def test_s2d_stem_matches_plain_conv():
+    """The space-to-depth stem is an exact rewrite of the 7x7/s2 conv:
+    identical param tree (conv1/kernel (7,7,3,64)) and matching outputs,
+    including odd spatial sizes (appended zero row/col lands in padding)."""
+    from object_detection_destr_tpu.models.resnet import ResNet
+
+    for size in (64, 63):
+        x = jnp.asarray(
+            np.random.default_rng(size).normal(size=(2, size, size, 3)).astype(np.float32)
+        )
+        plain = ResNet(stage_sizes=(1, 1, 1, 1), s2d_stem=False)
+        s2d = ResNet(stage_sizes=(1, 1, 1, 1), s2d_stem=True)
+        variables = plain.init(jax.random.key(1), x)
+        assert variables["params"]["conv1"]["kernel"].shape == (7, 7, 3, 64)
+        # same param tree -> s2d applies the plain-init variables directly
+        out_a = plain.apply(variables, x)
+        out_b = s2d.apply(variables, x)
+        for k in out_a:
+            np.testing.assert_allclose(
+                np.asarray(out_a[k]), np.asarray(out_b[k]), rtol=2e-4, atol=2e-4
+            )
+
+
 def test_downsample_mask_nearest():
     mask = jnp.asarray(np.tri(8, 8, dtype=bool))[None]
     small = downsample_mask(mask, (4, 4))
