@@ -65,6 +65,18 @@ def _plan(sq: int, sk: int, block_q: int, block_k: int):
     return bq, bk, _round_up(sq, bq), _round_up(sk, bk)
 
 
+def _plan_packed(sq: int, sk: int, block_q: int, block_k: int):
+    """Block plan for the head-packed kernels. For long sequences (the
+    7056-token dilated-C5 encoder, BASELINE.json config 4) wider k blocks
+    amortize the per-k-tile softmax-stat updates: bk 512 -> 1024 measured
+    fwd -24% / fwd+bwd -17% device-time at sq=7056 (tools/probe_flash.py).
+    bq drops to 256 to stay inside the 16 MB scoped-VMEM budget (the
+    (bq, h*LANES) f32 stat scratches scale with bq)."""
+    if _round_up(sk, 128) >= 4096 and block_q == 512 and block_k == 512:
+        block_q, block_k = 256, 1024
+    return _plan(sq, sk, block_q, block_k)
+
+
 def _drop_threshold(rate: float) -> jnp.ndarray:
     # keep iff bits >= threshold; P(drop) = threshold / 2^32
     t = min(max(int(rate * 4294967296.0), 0), 4294967295)
@@ -673,7 +685,7 @@ def _fwd_impl_packed(
         scale = 1.0 / (d**0.5)
     drop_mode, interpret = _resolve(dropout_rate, dropout_seed, interpret)
 
-    bq, bk, sq_pad, sk_pad = _plan(sq, sk, block_q, block_k)
+    bq, bk, sq_pad, sk_pad = _plan_packed(sq, sk, block_q, block_k)
     n_q, n_k = sq_pad // bq, sk_pad // bk
     qf, kf, vf, mask3 = _prep_inputs_packed(
         query, key, value, key_valid_mask, sq_pad, sk_pad
@@ -855,7 +867,7 @@ def _bwd_impl_packed(
         scale = 1.0 / (d**0.5)
     drop_mode, interpret = _resolve(dropout_rate, dropout_seed, interpret)
 
-    bq, bk, sq_pad, sk_pad = _plan(sq, sk, block_q, block_k)
+    bq, bk, sq_pad, sk_pad = _plan_packed(sq, sk, block_q, block_k)
     n_q, n_k = sq_pad // bq, sk_pad // bk
     qf, kf, vf, mask3 = _prep_inputs_packed(
         query, key, value, key_valid_mask, sq_pad, sk_pad
