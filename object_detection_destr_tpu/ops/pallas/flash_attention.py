@@ -27,9 +27,13 @@ is materialized host-side from the same seed and fed as an input — same math,
 different bit-source. ``dropout_keep_mask`` exposes the interpret-mode mask so
 tests can reproduce expected values exactly.
 
-The forward also emits the per-row logsumexp; the backward recomputes
-probabilities per tile from it (no (S_q, S_k) residuals in HBM) with two
-kernels: dQ accumulated over k-tiles, dK/dV accumulated over q-tiles.
+The forward also emits the per-row logsumexp (head-per-lane in one LANES
+register); the backward recomputes probabilities per tile from it (no
+(S_q, S_k) residuals in HBM). The packed backward is a SINGLE fused kernel
+producing dQ/dK/dV in one sweep when the full-row dK/dV VMEM scratches fit
+(``_fused_bwd_fits``); long sequences fall back to the two-pass form (dQ
+over k-tiles, dK/dV over q-tiles). Both read a precomputed
+delta = rowsum(dO*O) instead of rebuilding it per tile.
 """
 
 from __future__ import annotations
@@ -628,15 +632,21 @@ def _fwd_kernel_packed(
     @pl.when(jk == n_k - 1)
     def _():
         out = acc[...]
+        bq = out.shape[0]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bq, LANES), 1)
+        lse = jnp.zeros((bq, LANES), jnp.float32)
         for hh in range(num_heads):
             l_h = l_scr[:, hh * LANES : hh * LANES + 1]
             o_ref[0, :, hh * dv : (hh + 1) * dv] = (
                 out[:, hh * dv : (hh + 1) * dv] / l_h
             ).astype(o_ref.dtype)
-            lse_ref[0, :, hh * LANES : (hh + 1) * LANES] = jnp.broadcast_to(
-                m_scr[:, hh * LANES : hh * LANES + 1] + jnp.log(l_h),
-                (l_h.shape[0], LANES),
+            # compact stats: head hh lives at lane hh (8x less stat traffic
+            # than the old h*LANES broadcast layout)
+            lse = jnp.where(
+                lane == hh, m_scr[:, hh * LANES : hh * LANES + 1] + jnp.log(l_h),
+                lse,
             )
+        lse_ref[0] = lse
 
 
 def _prep_inputs_packed(query, key, value, key_valid_mask, sq_pad, sk_pad):
@@ -718,14 +728,14 @@ def _fwd_impl_packed(
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, sq_pad, hdv), query.dtype),
-            jax.ShapeDtypeStruct((b, sq_pad, num_heads * LANES), jnp.float32),
+            jax.ShapeDtypeStruct((b, sq_pad, LANES), jnp.float32),
         ),
         grid=(b, n_q, n_k),
         in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, bq, hdv), lambda i, iq, jk: (i, iq, 0), memory_space=vmem),
             pl.BlockSpec(
-                (1, bq, num_heads * LANES), lambda i, iq, jk: (i, iq, 0),
+                (1, bq, LANES), lambda i, iq, jk: (i, iq, 0),
                 memory_space=vmem,
             ),
         ),
@@ -744,10 +754,10 @@ def _dq_kernel_packed(
     num_heads: int, d: int, dv: int,
 ):
     if drop_mode == "none":
-        q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref, dq_ref, dq_acc = refs
+        q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, dl_ref, dq_ref, dq_acc = refs
         drop_ref = None
     else:
-        (q_ref, k_ref, v_ref, mask_ref, drop_ref, do_ref, o_ref, lse_ref,
+        (q_ref, k_ref, v_ref, mask_ref, drop_ref, do_ref, lse_ref, dl_ref,
          dq_ref, dq_acc) = refs
     bi, iq, jk = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -764,7 +774,7 @@ def _dq_kernel_packed(
             preferred_element_type=jnp.float32,
         ) * scale
         s = jnp.where(valid[None, :], s, NEG_INF)
-        p = jnp.exp(s - lse_ref[0][:, hh * LANES : hh * LANES + 1])
+        p = jnp.exp(s - lse_ref[0][:, hh : hh + 1])
 
         dp = jax.lax.dot_general(
             do, _head(v, hh, dv).astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -776,10 +786,7 @@ def _dq_kernel_packed(
                 head=hh,
             )
             dp = jnp.where(keep, dp * (1.0 / (1.0 - rate)), 0.0)
-        d_diag = jnp.sum(
-            do * _head(o_ref[0], hh, dv).astype(jnp.float32), axis=-1, keepdims=True
-        )
-        ds = p * (dp - d_diag)
+        ds = p * (dp - dl_ref[0][:, hh : hh + 1])
         dq_acc[:, hh * d : (hh + 1) * d] += jax.lax.dot_general(
             ds, _head(k, hh, d).astype(jnp.float32), (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -795,11 +802,11 @@ def _dkv_kernel_packed(
     num_heads: int, d: int, dv: int,
 ):
     if drop_mode == "none":
-        (q_ref, k_ref, v_ref, mask_ref, do_ref, o_ref, lse_ref,
+        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, dl_ref,
          dk_ref, dv_ref, dk_acc, dv_acc) = refs
         drop_ref = None
     else:
-        (q_ref, k_ref, v_ref, mask_ref, drop_ref, do_ref, o_ref, lse_ref,
+        (q_ref, k_ref, v_ref, mask_ref, drop_ref, do_ref, lse_ref, dl_ref,
          dk_ref, dv_ref, dk_acc, dv_acc) = refs
     bi, jk, iq = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
@@ -817,7 +824,7 @@ def _dkv_kernel_packed(
             preferred_element_type=jnp.float32,
         ) * scale
         s = jnp.where(valid[None, :], s, NEG_INF)
-        p = jnp.exp(s - lse_ref[0][:, hh * LANES : hh * LANES + 1])
+        p = jnp.exp(s - lse_ref[0][:, hh : hh + 1])
 
         dp = jax.lax.dot_general(
             do, _head(v, hh, dv).astype(jnp.float32), (((1,), (1,)), ((), ())),
@@ -833,10 +840,7 @@ def _dkv_kernel_packed(
             dp = jnp.where(keep, dp * inv, 0.0)
         else:
             pd = p
-        d_diag = jnp.sum(
-            do * _head(o_ref[0], hh, dv).astype(jnp.float32), axis=-1, keepdims=True
-        )
-        ds = p * (dp - d_diag)
+        ds = p * (dp - dl_ref[0][:, hh : hh + 1])
         dk_acc[:, hh * d : (hh + 1) * d] += jax.lax.dot_general(
             ds, _head(q, hh, d).astype(jnp.float32), (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -851,14 +855,126 @@ def _dkv_kernel_packed(
         dv_ref[0] = dv_acc[...].astype(dv_ref.dtype)
 
 
+def _dkvq_kernel_packed(
+    *refs, scale: float, rate: float, drop_mode: str, n_q: int, n_k: int,
+    bk: int, num_heads: int, d: int, dv: int,
+):
+    """Single-launch fused backward: dQ, dK, dV in one pass over the tiles.
+
+    Grid (b, n_q, n_k) — jk inner. dQ uses the per-q-block accumulator of
+    ``_dq_kernel_packed`` (complete at jk == n_k-1). dK/dV accumulate into
+    full-row VMEM scratches (row block jk finishes at iq == n_q-1, the last
+    time the sweep passes it); their output blocks span the whole padded key
+    axis and only change with the batch index, so revisits stay consecutive.
+    Fusing removes the second s/p recompute sweep of the two-pass form
+    (~30% of the backward MXU work, ~50% of its VPU work).
+    """
+    if drop_mode == "none":
+        (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, dl_ref,
+         dq_ref, dk_ref, dv_ref, dq_acc, dk_scr, dv_scr) = refs
+        drop_ref = None
+    else:
+        (q_ref, k_ref, v_ref, mask_ref, drop_ref, do_ref, lse_ref, dl_ref,
+         dq_ref, dk_ref, dv_ref, dq_acc, dk_scr, dv_scr) = refs
+    bi, iq, jk = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+
+    @pl.when(jk == 0)
+    def _():
+        dq_acc[...] = jnp.zeros_like(dq_acc)
+
+    @pl.when((iq == 0) & (jk == 0))
+    def _():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q, k, v = q_ref[0], k_ref[0], v_ref[0]
+    valid = mask_ref[0, 0, :] > 0
+    rows = pl.ds(jk * bk, bk)
+    for hh in range(num_heads):
+        do = _head(do_ref[0], hh, dv).astype(jnp.float32)
+        s = jax.lax.dot_general(
+            _head(q, hh, d), _head(k, hh, d), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        s = jnp.where(valid[None, :], s, NEG_INF)
+        p = jnp.exp(s - lse_ref[0][:, hh : hh + 1])
+
+        dp = jax.lax.dot_general(
+            do, _head(v, hh, dv).astype(jnp.float32), (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        if rate > 0.0:
+            keep = _tile_keep(
+                drop_mode, drop_ref, bi * num_heads + hh, iq, jk, p.shape, rate,
+                head=hh,
+            )
+            inv = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p * inv, 0.0)
+            dp = jnp.where(keep, dp * inv, 0.0)
+        else:
+            pd = p
+        ds = p * (dp - dl_ref[0][:, hh : hh + 1])
+        dq_acc[:, hh * d : (hh + 1) * d] += jax.lax.dot_general(
+            ds, _head(k, hh, d).astype(jnp.float32), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        cols = slice(hh * d, (hh + 1) * d)
+        dk_scr[rows, cols] += jax.lax.dot_general(
+            ds, _head(q, hh, d).astype(jnp.float32), (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        colsv = slice(hh * dv, (hh + 1) * dv)
+        dv_scr[rows, colsv] += jax.lax.dot_general(
+            pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+
+    @pl.when(jk == n_k - 1)
+    def _():
+        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+
+    @pl.when(iq == n_q - 1)
+    def _():
+        dk_ref[0, rows, :] = dk_scr[rows, :].astype(dk_ref.dtype)
+        dv_ref[0, rows, :] = dv_scr[rows, :].astype(dv_ref.dtype)
+
+
+def _delta_packed(d_out, out, num_heads, dv, sq_pad):
+    """delta[i, r, hh] = sum_c dO[i, r, hh*dv+c] * O[i, r, hh*dv+c], laid out
+    head-per-lane in a single LANES register — the same compact layout the
+    forward emits for lse. Computed once in XLA instead of per (q, k) tile
+    inside the backward kernels (the flash-attention 'preprocess' step)."""
+    b, sq, _ = d_out.shape
+    prod = d_out.astype(jnp.float32) * out.astype(jnp.float32)
+    delta = prod.reshape(b, sq, num_heads, dv).sum(-1)  # (b, sq, h)
+    delta = jnp.pad(delta, ((0, 0), (0, sq_pad - sq), (0, LANES - num_heads)))
+    return delta  # (b, sq_pad, LANES) f32
+
+
+def _fused_bwd_fits(bq, bk, sq_pad, sk_pad, hd, hdv, num_heads, drop_mode,
+                    budget=14 * 1024 * 1024):
+    """VMEM estimate for the single-launch fused backward. The full-row
+    dK/dV scratches (+ their full-axis output blocks) scale with sk_pad, so
+    long sequences (the 7056-token dilated config) fall back to two-pass."""
+    f32, bf16 = 4, 2
+    scr = sk_pad * hd * f32 + sk_pad * hdv * f32 + bq * hd * f32
+    outs = bq * hd * bf16 * 2 + sk_pad * (hd + hdv) * bf16
+    blocks = 2 * (  # double-buffered input blocks
+        bq * hd * bf16 + bk * (hd + hdv) * bf16 + bq * hdv * bf16
+        + 2 * bq * LANES * f32 + bk * 4
+    )
+    if drop_mode == "mask":
+        blocks += 2 * num_heads * bq * bk * 4  # (1, h, bq, bk) int32 block
+    return scr + outs + blocks <= budget
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "dropout_rate", "scale", "block_q",
-                     "block_k", "interpret"),
+                     "block_k", "interpret", "fused"),
 )
 def _bwd_impl_packed(
     query, key, value, num_heads, key_valid_mask, dropout_seed, out, lse,
-    d_out, dropout_rate, scale, block_q, block_k, interpret,
+    d_out, dropout_rate, scale, block_q, block_k, interpret, fused=None,
 ):
     b, sq, hd = query.shape
     sk, hdv = key.shape[1], value.shape[-1]
@@ -872,20 +988,66 @@ def _bwd_impl_packed(
     qf, kf, vf, mask3 = _prep_inputs_packed(
         query, key, value, key_valid_mask, sq_pad, sk_pad
     )
-    pad_q = lambda t: jnp.pad(t, ((0, 0), (0, sq_pad - sq), (0, 0)))
-    dof, of = pad_q(d_out), pad_q(out)
+    dof = jnp.pad(d_out, ((0, 0), (0, sq_pad - sq), (0, 0)))
+    delta = _delta_packed(d_out, out, num_heads, dv, sq_pad)
     drop_op = _drop_operand_packed(
         drop_mode, dropout_seed, b, num_heads, sq_pad, sk_pad, dropout_rate
     )
+    if fused is None:
+        fused = _fused_bwd_fits(bq, bk, sq_pad, sk_pad, hd, hdv, num_heads,
+                                drop_mode)
 
     vmem = pltpu.VMEM
-    hl = num_heads * LANES
     q_spec = lambda im: pl.BlockSpec((1, bq, hd), im, memory_space=vmem)
     k_spec = lambda im: pl.BlockSpec((1, bk, hd), im, memory_space=vmem)
     v_spec = lambda im: pl.BlockSpec((1, bk, hdv), im, memory_space=vmem)
     qo_spec = lambda im: pl.BlockSpec((1, bq, hdv), im, memory_space=vmem)
-    lse_spec = lambda im: pl.BlockSpec((1, bq, hl), im, memory_space=vmem)
+    lse_spec = lambda im: pl.BlockSpec((1, bq, LANES), im, memory_space=vmem)
     mask_spec = lambda im: pl.BlockSpec((1, 1, bk), im, memory_space=vmem)
+
+    if fused:
+        # --- fused dQ/dK/dV: grid (b, iq, jk) ------------------------------
+        im_q = lambda i, iq, jk: (i, iq, 0)
+        im_k = lambda i, iq, jk: (i, jk, 0)
+        im_m = lambda i, iq, jk: (i, 0, jk)
+        im_b = lambda i, iq, jk: (i, 0, 0)
+        in_specs = [q_spec(im_q), k_spec(im_k), v_spec(im_k), mask_spec(im_m)]
+        operands = [qf, kf, vf, mask3]
+        if drop_mode != "none":
+            in_specs.append(
+                _drop_spec_packed(
+                    drop_mode, num_heads, bq, bk, lambda i, iq, jk: (i, 0, iq, jk)
+                )
+            )
+            operands.append(drop_op)
+        in_specs += [qo_spec(im_q), lse_spec(im_q), lse_spec(im_q)]
+        operands += [dof, lse, delta]
+        dq, dk, dv_grad = pl.pallas_call(
+            functools.partial(
+                _dkvq_kernel_packed, scale=scale, rate=dropout_rate,
+                drop_mode=drop_mode, n_q=n_q, n_k=n_k, bk=bk,
+                num_heads=num_heads, d=d, dv=dv,
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((b, sq_pad, hd), query.dtype),
+                jax.ShapeDtypeStruct((b, sk_pad, hd), key.dtype),
+                jax.ShapeDtypeStruct((b, sk_pad, hdv), value.dtype),
+            ),
+            grid=(b, n_q, n_k),
+            in_specs=in_specs,
+            out_specs=(
+                q_spec(im_q),
+                pl.BlockSpec((1, sk_pad, hd), im_b, memory_space=vmem),
+                pl.BlockSpec((1, sk_pad, hdv), im_b, memory_space=vmem),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((bq, hd), jnp.float32),
+                pltpu.VMEM((sk_pad, hd), jnp.float32),
+                pltpu.VMEM((sk_pad, hdv), jnp.float32),
+            ],
+            interpret=interpret,
+        )(*operands)
+        return dq[:, :sq], dk[:, :sk], dv_grad[:, :sk]
 
     # --- dQ: grid (b, iq, jk) ---------------------------------------------
     im_q = lambda i, iq, jk: (i, iq, 0)
@@ -900,8 +1062,8 @@ def _bwd_impl_packed(
             )
         )
         operands.append(drop_op)
-    in_specs += [qo_spec(im_q), qo_spec(im_q), lse_spec(im_q)]
-    operands += [dof, of, lse]
+    in_specs += [qo_spec(im_q), lse_spec(im_q), lse_spec(im_q)]
+    operands += [dof, lse, delta]
     dq = pl.pallas_call(
         functools.partial(
             _dq_kernel_packed, scale=scale, rate=dropout_rate,
@@ -928,8 +1090,8 @@ def _bwd_impl_packed(
             )
         )
         operands.append(drop_op)
-    in_specs += [qo_spec(im_q2), qo_spec(im_q2), lse_spec(im_q2)]
-    operands += [dof, of, lse]
+    in_specs += [qo_spec(im_q2), lse_spec(im_q2), lse_spec(im_q2)]
+    operands += [dof, lse, delta]
     dk, dv_grad = pl.pallas_call(
         functools.partial(
             _dkv_kernel_packed, scale=scale, rate=dropout_rate,

@@ -540,3 +540,48 @@ def test_flash_packed_multi_tile():
         key_valid_mask=mask,
     )
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=3e-5)
+
+
+def test_flash_packed_bwd_fused_matches_two_pass():
+    """The single-launch fused backward (dQ/dK/dV in one sweep) must produce
+    the same gradients as the two-pass form, with and without dropout (both
+    draw per-tile keep masks from the same (bh, iq, jk) coordinates)."""
+    from object_detection_destr_tpu.ops.pallas.flash_attention import (
+        _bwd_impl_packed,
+        _fwd_impl_packed,
+    )
+
+    rng = np.random.default_rng(14)
+    b, h, sq, sk, d = 2, 4, 72, 136, 32
+    q = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    do = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    mask = np.ones((b, sk), bool)
+    mask[0, 100:] = False
+    mask = jnp.asarray(mask)
+
+    for rate, seed in ((0.0, None), (0.3, 77)):
+        out, lse = _fwd_impl_packed(q, k, v, h, mask, seed, rate, None, 32, 128, True)
+        args = (q, k, v, h, mask, seed, out, lse, do, rate, None, 32, 128, True)
+        g_fused = _bwd_impl_packed(*args, fused=True)
+        g_two = _bwd_impl_packed(*args, fused=False)
+        for a, bb, name in zip(g_fused, g_two, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-5,
+                err_msg=f"{name} fused-vs-two-pass mismatch (rate={rate})",
+            )
+
+
+def test_flash_packed_fused_fit_gate():
+    """Production encoder shape fits the fused backward; the 7056-token
+    dilated config (sk_pad 7168) must fall back to two-pass."""
+    from object_detection_destr_tpu.ops.pallas.flash_attention import (
+        _fused_bwd_fits,
+        _plan_packed,
+    )
+
+    bq, bk, sq_pad, sk_pad = _plan_packed(1600, 1600, 512, 512)
+    assert _fused_bwd_fits(bq, bk, sq_pad, sk_pad, 256, 256, 8, "prng")
+    bq, bk, sq_pad, sk_pad = _plan_packed(7056, 7056, 512, 512)
+    assert not _fused_bwd_fits(bq, bk, sq_pad, sk_pad, 256, 256, 8, "prng")
