@@ -300,3 +300,52 @@ def test_flash_packed_under_shard_map():
     # and the lowered sharded computation must not all-gather kernel operands
     hlo = jax.jit(sharded).lower(put(q), put(k), put(v), put(mask)).compile().as_text()
     assert "all-gather" not in hlo
+
+
+def test_flash_packed_grads_under_shard_map():
+    """The FUSED single-launch backward (dQ/dK/dV in one pallas_call) under
+    shard_map over the data axis: per-shard grads must equal the unsharded
+    ones, and the lowered computation must not all-gather kernel operands."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from object_detection_destr_tpu.ops.pallas.flash_attention import (
+        flash_attention_packed,
+    )
+
+    rng = np.random.default_rng(8)
+    b, s, h, d = 8, 40, 4, 32
+    q = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+    mask = np.ones((b, s), bool)
+    mask[0, 30:] = False
+    mask = jnp.asarray(mask)
+    w = jnp.asarray(rng.normal(size=(b, s, h * d)).astype(np.float32))
+
+    def loss(q, k, v, m, w):
+        out = flash_attention_packed(q, k, v, h, m, None, 0.0, None, 16, 128, True)
+        return jnp.sum(out * w)
+
+    ref = jax.grad(loss, argnums=(0, 1, 2))(q, k, v, mask, w)
+
+    mesh = make_mesh()
+
+    def shard_grads(q, k, v, m, w):
+        return jax.grad(loss, argnums=(0, 1, 2))(q, k, v, m, w)
+
+    sharded = shard_map(
+        shard_grads, mesh=mesh,
+        in_specs=(P("data"),) * 5,
+        out_specs=(P("data"),) * 3, check_rep=False,
+    )
+    put = lambda t: jax.device_put(t, NamedSharding(mesh, P("data")))
+    args = (put(q), put(k), put(v), put(mask), put(w))
+    got = jax.jit(sharded)(*args)
+    for a, bb, name in zip(got, ref, ("dq", "dk", "dv")):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-5, atol=2e-5,
+            err_msg=f"sharded {name} mismatch",
+        )
+    hlo = jax.jit(sharded).lower(*args).compile().as_text()
+    assert "all-gather" not in hlo
