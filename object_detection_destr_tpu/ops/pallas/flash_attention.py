@@ -30,10 +30,11 @@ tests can reproduce expected values exactly.
 The forward also emits the per-row logsumexp (head-per-lane in one LANES
 register); the backward recomputes probabilities per tile from it (no
 (S_q, S_k) residuals in HBM). The packed backward is a SINGLE fused kernel
-producing dQ/dK/dV in one sweep when the full-row dK/dV VMEM scratches fit
-(``_fused_bwd_fits``); long sequences fall back to the two-pass form (dQ
-over k-tiles, dK/dV over q-tiles). Both read a precomputed
-delta = rowsum(dO*O) instead of rebuilding it per tile.
+producing dQ/dK/dV in one sweep; the key axis is chunked so the per-chunk
+dK/dV VMEM scratches fit any sequence length (``_pick_chunk_nk``), with dQ
+emitted as f32 per-chunk partials summed in XLA. A two-pass form (dQ over
+k-tiles, dK/dV over q-tiles) is kept for comparison/fallback. Both read a
+precomputed delta = rowsum(dO*O) instead of rebuilding it per tile.
 """
 
 from __future__ import annotations
@@ -691,6 +692,11 @@ def _fwd_impl_packed(
     b, sq, hd = query.shape
     sk, hdv = key.shape[1], value.shape[-1]
     d, dv = hd // num_heads, hdv // num_heads
+    if num_heads > LANES:
+        raise ValueError(
+            f"packed kernels store per-head stats head-per-lane in one "
+            f"{LANES}-lane register; num_heads={num_heads} exceeds that"
+        )
     if scale is None:
         scale = 1.0 / (d**0.5)
     drop_mode, interpret = _resolve(dropout_rate, dropout_seed, interpret)
@@ -856,19 +862,22 @@ def _dkv_kernel_packed(
 
 
 def _dkvq_kernel_packed(
-    *refs, scale: float, rate: float, drop_mode: str, n_q: int, n_k: int,
+    *refs, scale: float, rate: float, drop_mode: str, n_q: int, chunk_nk: int,
     bk: int, num_heads: int, d: int, dv: int,
 ):
     """Single-launch fused backward: dQ, dK, dV in one pass over the tiles.
 
-    Grid (b, n_q, n_k) — jk inner. dQ uses the per-q-block accumulator of
-    ``_dq_kernel_packed`` (complete at jk == n_k-1). dK/dV accumulate into
-    full-row VMEM scratches (row block jk finishes at iq == n_q-1, the last
-    time the sweep passes it); their output blocks span the whole padded key
-    axis and only change with the batch index, so revisits stay consecutive.
-    Fusing removes the second s/p recompute sweep of the two-pass form
-    (~30% of the backward MXU work, ~50% of its VPU work).
-    """
+    Grid (b, nc, n_q, jk) — the key axis is split into ``nc`` chunks of
+    ``chunk_nk`` k-tiles so the per-chunk dK/dV VMEM scratches fit any
+    sequence length (the 7056-token dilated config included). Within a
+    chunk, jk is innermost: dQ accumulates per q-block and emits an f32
+    PARTIAL (complete over this chunk's keys) at jk == chunk_nk-1, summed
+    over chunks in XLA afterwards; dK/dV accumulate into chunk-row scratches
+    (row block jk finishes at iq == n_q-1, the last sweep past it) whose
+    output blocks span the whole chunk and only change with (batch, chunk),
+    keeping revisits consecutive. Fusing removes the second s/p recompute
+    sweep of the two-pass form (~30% of the backward MXU work, ~50% of its
+    VPU work)."""
     if drop_mode == "none":
         (q_ref, k_ref, v_ref, mask_ref, do_ref, lse_ref, dl_ref,
          dq_ref, dk_ref, dv_ref, dq_acc, dk_scr, dv_scr) = refs
@@ -876,7 +885,10 @@ def _dkvq_kernel_packed(
     else:
         (q_ref, k_ref, v_ref, mask_ref, drop_ref, do_ref, lse_ref, dl_ref,
          dq_ref, dk_ref, dv_ref, dq_acc, dk_scr, dv_scr) = refs
-    bi, iq, jk = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    bi, kc, iq, jk = (pl.program_id(0), pl.program_id(1), pl.program_id(2),
+                      pl.program_id(3))
+    jk_g = kc * chunk_nk + jk  # global k-tile index — dropout tiles must
+    # draw the same PRNG stream as the forward regardless of chunking
 
     @pl.when(jk == 0)
     def _():
@@ -905,8 +917,8 @@ def _dkvq_kernel_packed(
         )
         if rate > 0.0:
             keep = _tile_keep(
-                drop_mode, drop_ref, bi * num_heads + hh, iq, jk, p.shape, rate,
-                head=hh,
+                drop_mode, drop_ref, bi * num_heads + hh, iq, jk_g, p.shape,
+                rate, head=hh,
             )
             inv = 1.0 / (1.0 - rate)
             pd = jnp.where(keep, p * inv, 0.0)
@@ -928,9 +940,9 @@ def _dkvq_kernel_packed(
             pd, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
         )
 
-    @pl.when(jk == n_k - 1)
+    @pl.when(jk == chunk_nk - 1)
     def _():
-        dq_ref[0] = dq_acc[...].astype(dq_ref.dtype)
+        dq_ref[0, 0] = dq_acc[...]
 
     @pl.when(iq == n_q - 1)
     def _():
@@ -950,21 +962,29 @@ def _delta_packed(d_out, out, num_heads, dv, sq_pad):
     return delta  # (b, sq_pad, LANES) f32
 
 
-def _fused_bwd_fits(bq, bk, sq_pad, sk_pad, hd, hdv, num_heads, drop_mode,
-                    budget=14 * 1024 * 1024):
-    """VMEM estimate for the single-launch fused backward. The full-row
-    dK/dV scratches (+ their full-axis output blocks) scale with sk_pad, so
-    long sequences (the 7056-token dilated config) fall back to two-pass."""
+def _pick_chunk_nk(n_k, bq, bk, hd, hdv, num_heads, drop_mode,
+                   budget=14 * 1024 * 1024):
+    """Largest k-tile count per chunk (a divisor of ``n_k``) whose fused
+    backward fits the VMEM budget: per-chunk dK/dV f32 scratches + their
+    chunk-spanning output blocks scale with the chunk size; everything else
+    is per-tile. chunk_nk == n_k is the unchunked case (one dQ partial)."""
     f32, bf16 = 4, 2
-    scr = sk_pad * hd * f32 + sk_pad * hdv * f32 + bq * hd * f32
-    outs = bq * hd * bf16 * 2 + sk_pad * (hd + hdv) * bf16
-    blocks = 2 * (  # double-buffered input blocks
+    fixed = bq * hd * f32  # dq accumulator
+    fixed += bq * hd * f32 * 2  # dq f32 partial out block (double-buffered)
+    fixed += 2 * (  # double-buffered per-tile input blocks
         bq * hd * bf16 + bk * (hd + hdv) * bf16 + bq * hdv * bf16
         + 2 * bq * LANES * f32 + bk * 4
     )
     if drop_mode == "mask":
-        blocks += 2 * num_heads * bq * bk * 4  # (1, h, bq, bk) int32 block
-    return scr + outs + blocks <= budget
+        fixed += 2 * num_heads * bq * bk * 4  # (1, h, bq, bk) int32 block
+    for c in range(n_k, 0, -1):
+        if n_k % c:
+            continue
+        rows = c * bk
+        per_chunk = rows * (hd + hdv) * (f32 + bf16)  # scratches + out blocks
+        if fixed + per_chunk <= budget:
+            return c
+    return None
 
 
 @functools.partial(
@@ -993,9 +1013,11 @@ def _bwd_impl_packed(
     drop_op = _drop_operand_packed(
         drop_mode, dropout_seed, b, num_heads, sq_pad, sk_pad, dropout_rate
     )
+    chunk_nk = _pick_chunk_nk(n_k, bq, bk, hd, hdv, num_heads, drop_mode)
     if fused is None:
-        fused = _fused_bwd_fits(bq, bk, sq_pad, sk_pad, hd, hdv, num_heads,
-                                drop_mode)
+        fused = chunk_nk is not None
+    elif fused and chunk_nk is None:
+        raise ValueError("fused backward requested but no chunk size fits VMEM")
 
     vmem = pltpu.VMEM
     q_spec = lambda im: pl.BlockSpec((1, bq, hd), im, memory_space=vmem)
@@ -1006,47 +1028,61 @@ def _bwd_impl_packed(
     mask_spec = lambda im: pl.BlockSpec((1, 1, bk), im, memory_space=vmem)
 
     if fused:
-        # --- fused dQ/dK/dV: grid (b, iq, jk) ------------------------------
-        im_q = lambda i, iq, jk: (i, iq, 0)
-        im_k = lambda i, iq, jk: (i, jk, 0)
-        im_m = lambda i, iq, jk: (i, 0, jk)
-        im_b = lambda i, iq, jk: (i, 0, 0)
+        # --- fused dQ/dK/dV: grid (b, kc, iq, jk) --------------------------
+        nc = n_k // chunk_nk
+        rows = chunk_nk * bk  # key rows per chunk
+        im_q = lambda i, kc, iq, jk: (i, iq, 0)
+        im_k = lambda i, kc, iq, jk: (i, kc * chunk_nk + jk, 0)
+        im_m = lambda i, kc, iq, jk: (i, 0, kc * chunk_nk + jk)
         in_specs = [q_spec(im_q), k_spec(im_k), v_spec(im_k), mask_spec(im_m)]
         operands = [qf, kf, vf, mask3]
         if drop_mode != "none":
             in_specs.append(
                 _drop_spec_packed(
-                    drop_mode, num_heads, bq, bk, lambda i, iq, jk: (i, 0, iq, jk)
+                    drop_mode, num_heads, bq, bk,
+                    lambda i, kc, iq, jk: (i, 0, iq, kc * chunk_nk + jk),
                 )
             )
             operands.append(drop_op)
         in_specs += [qo_spec(im_q), lse_spec(im_q), lse_spec(im_q)]
         operands += [dof, lse, delta]
-        dq, dk, dv_grad = pl.pallas_call(
+        dqp, dk, dv_grad = pl.pallas_call(
             functools.partial(
                 _dkvq_kernel_packed, scale=scale, rate=dropout_rate,
-                drop_mode=drop_mode, n_q=n_q, n_k=n_k, bk=bk,
+                drop_mode=drop_mode, n_q=n_q, chunk_nk=chunk_nk, bk=bk,
                 num_heads=num_heads, d=d, dv=dv,
             ),
             out_shape=(
-                jax.ShapeDtypeStruct((b, sq_pad, hd), query.dtype),
+                jax.ShapeDtypeStruct((b, nc, sq_pad, hd), jnp.float32),
                 jax.ShapeDtypeStruct((b, sk_pad, hd), key.dtype),
                 jax.ShapeDtypeStruct((b, sk_pad, hdv), value.dtype),
             ),
-            grid=(b, n_q, n_k),
+            grid=(b, nc, n_q, chunk_nk),
             in_specs=in_specs,
             out_specs=(
-                q_spec(im_q),
-                pl.BlockSpec((1, sk_pad, hd), im_b, memory_space=vmem),
-                pl.BlockSpec((1, sk_pad, hdv), im_b, memory_space=vmem),
+                pl.BlockSpec(
+                    (1, 1, bq, hd), lambda i, kc, iq, jk: (i, kc, iq, 0),
+                    memory_space=vmem,
+                ),
+                pl.BlockSpec(
+                    (1, rows, hd), lambda i, kc, iq, jk: (i, kc, 0),
+                    memory_space=vmem,
+                ),
+                pl.BlockSpec(
+                    (1, rows, hdv), lambda i, kc, iq, jk: (i, kc, 0),
+                    memory_space=vmem,
+                ),
             ),
             scratch_shapes=[
                 pltpu.VMEM((bq, hd), jnp.float32),
-                pltpu.VMEM((sk_pad, hd), jnp.float32),
-                pltpu.VMEM((sk_pad, hdv), jnp.float32),
+                pltpu.VMEM((rows, hd), jnp.float32),
+                pltpu.VMEM((rows, hdv), jnp.float32),
             ],
             interpret=interpret,
         )(*operands)
+        # dQ partials are f32 (per-chunk accumulation stays f32 end-to-end);
+        # one XLA sum over the (small) chunk axis finishes the reduction
+        dq = dqp.sum(axis=1).astype(query.dtype)
         return dq[:, :sq], dk[:, :sk], dv_grad[:, :sk]
 
     # --- dQ: grid (b, iq, jk) ---------------------------------------------

@@ -574,14 +574,50 @@ def test_flash_packed_bwd_fused_matches_two_pass():
 
 
 def test_flash_packed_fused_fit_gate():
-    """Production encoder shape fits the fused backward; the 7056-token
-    dilated config (sk_pad 7168) must fall back to two-pass."""
+    """Production encoder shape runs the fused backward unchunked; the
+    7056-token dilated config (sk_pad 7168) must pick a smaller k-chunk
+    (its full-row dK/dV scratches exceed VMEM) but still fuse."""
     from object_detection_destr_tpu.ops.pallas.flash_attention import (
-        _fused_bwd_fits,
+        _pick_chunk_nk,
         _plan_packed,
     )
 
     bq, bk, sq_pad, sk_pad = _plan_packed(1600, 1600, 512, 512)
-    assert _fused_bwd_fits(bq, bk, sq_pad, sk_pad, 256, 256, 8, "prng")
+    assert _pick_chunk_nk(sk_pad // bk, bq, bk, 256, 256, 8, "prng") == sk_pad // bk
     bq, bk, sq_pad, sk_pad = _plan_packed(7056, 7056, 512, 512)
-    assert not _fused_bwd_fits(bq, bk, sq_pad, sk_pad, 256, 256, 8, "prng")
+    c = _pick_chunk_nk(sk_pad // bk, bq, bk, 256, 256, 8, "prng")
+    assert c is not None and 1 <= c < sk_pad // bk
+
+
+def test_flash_packed_bwd_chunked_matches_two_pass(monkeypatch):
+    """Force nc > 1 k-chunks (chunk_nk = 1) — per-chunk dQ partials summed
+    in XLA must reproduce the two-pass gradients, dropout included."""
+    import importlib
+
+    fa = importlib.import_module(
+        "object_detection_destr_tpu.ops.pallas.flash_attention"
+    )
+    monkeypatch.setattr(fa, "_pick_chunk_nk", lambda *a, **k: 1)
+
+    rng = np.random.default_rng(15)
+    b, h, sq, sk, d = 2, 4, 48, 400, 32  # sk_pad 512 / bk 128 -> 4 chunks
+    q = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, sk, h * d)).astype(np.float32))
+    do = jnp.asarray(rng.normal(size=(b, sq, h * d)).astype(np.float32))
+    mask = np.ones((b, sk), bool)
+    mask[0, 311:] = False
+    mask = jnp.asarray(mask)
+
+    for rate, seed in ((0.0, None), (0.3, 99)):
+        out, lse = fa._fwd_impl_packed(
+            q, k, v, h, mask, seed, rate, None, 16, 128, True
+        )
+        args = (q, k, v, h, mask, seed, out, lse, do, rate, None, 16, 128, True)
+        g_fused = fa._bwd_impl_packed(*args, fused=True)
+        g_two = fa._bwd_impl_packed(*args, fused=False)
+        for a, bb, name in zip(g_fused, g_two, ("dq", "dk", "dv")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), rtol=1e-5, atol=1e-5,
+                err_msg=f"{name} chunked-vs-two-pass mismatch (rate={rate})",
+            )
