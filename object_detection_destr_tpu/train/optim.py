@@ -154,7 +154,8 @@ def build_optimizer(
             "main": optax.adamw(lr, weight_decay=weight_decay),
             "backbone": (
                 optax.adamw(lr_backbone, weight_decay=weight_decay)
-                if lr_backbone > 0
+                # optax schedules (callables) are accepted like floats
+                if callable(lr_backbone) or lr_backbone > 0
                 else optax.set_to_zero()
             ),
             "frozen": optax.set_to_zero(),

@@ -200,9 +200,32 @@ def run_reference(args, images, box_list, orders, val_images, val_boxes):
     init_loss = float(l0)
     del probe
 
-    g_step, hist = 0, []
+    # eval: collect raw predictions; scoring happens in main() with the repo
+    # metric (parity-proven vs the reference metric, which NaNs on rank-0
+    # misses — REFCOMPAT #11)
+    def eval_preds():
+        preds = []
+        model.eval()
+        with torch.no_grad():
+            for s in range(0, len(val_images), args.batch):
+                imgs = torch.from_numpy(
+                    val_images[s : s + args.batch].transpose(0, 3, 1, 2)
+                ).contiguous()
+                out, _ = model(imgs)
+                preds.append(
+                    {
+                        "pred_class": out["pred_class"].numpy(),
+                        "pred_boxes": out["pred_boxes"].numpy(),
+                    }
+                )
+        return preds
+
+    g_step, hist, snapshots = 0, [], {}
     t0 = time.time()
     for ep, order in enumerate(orders):
+        if args.lr_drop and ep == args.lr_drop:
+            for g in optim.param_groups:  # same x0.1 drop on both sides
+                g["lr"] *= 0.1
         model.train()
         lm, ld, dur, g_step = train_one_epoch(
             A, model, criterion, writer=writer, g_step=g_step,
@@ -212,25 +235,11 @@ def run_reference(args, images, box_list, orders, val_images, val_boxes):
         hist.append(lm)
         print(f"[ref] epoch {ep}: loss_model={lm:.4f} loss_det={ld:.4f} "
               f"({dur:.1f}s)", flush=True)
+        if args.map_every and (ep + 1) % args.map_every == 0:
+            snapshots[ep + 1] = eval_preds()
 
-    # eval: collect raw predictions; scoring happens in main() with the repo
-    # metric (parity-proven vs the reference metric, which NaNs on rank-0
-    # misses — REFCOMPAT #11)
-    preds = []
-    model.eval()
-    with torch.no_grad():
-        for s in range(0, len(val_images), args.batch):
-            imgs = torch.from_numpy(
-                val_images[s : s + args.batch].transpose(0, 3, 1, 2)
-            ).contiguous()
-            out, _ = model(imgs)
-            preds.append(
-                {
-                    "pred_class": out["pred_class"].numpy(),
-                    "pred_boxes": out["pred_boxes"].numpy(),
-                }
-            )
-    return init_sd, preds, hist, time.time() - t0, init_loss
+    preds = eval_preds()
+    return init_sd, preds, hist, time.time() - t0, init_loss, snapshots
 
 
 # --------------------------------------------------------------------- ours
@@ -265,7 +274,18 @@ def run_ours(args, init_sd, images, box_list, orders, val_images, val_boxes):
     variables = destr_variables_from_torch(init_sd, args.blocks, args.blocks)
     params = jax.tree.map(jnp.asarray, variables["params"])
     batch_stats = jax.tree.map(jnp.asarray, variables["batch_stats"])
-    tx = build_optimizer(params, lr=args.lr, lr_backbone=args.lr_backbone)
+    lr = args.lr
+    lr_bb = args.lr_backbone
+    if args.lr_drop:
+        # same x0.1 step drop as the torch side, as an optax schedule
+        steps_per_epoch = (len(images) // args.batch)
+        drop_at = args.lr_drop * steps_per_epoch
+        lr = lambda step: args.lr * jnp.where(step >= drop_at, 0.1, 1.0)
+        if args.lr_backbone > 0:
+            lr_bb = lambda step: args.lr_backbone * jnp.where(
+                step >= drop_at, 0.1, 1.0
+            )
+    tx = build_optimizer(params, lr=lr, lr_backbone=lr_bb)
     state = TrainState(
         step=jnp.zeros((), jnp.int32), params=params, batch_stats=batch_stats,
         opt_state=tx.init(params), rng=jax.random.key(args.seed),
@@ -273,7 +293,23 @@ def run_ours(args, init_sd, images, box_list, orders, val_images, val_boxes):
     train_step = make_destr_train_step(model, tx, train_cfg)
 
     boxes_pad, labels_pad, valid_pad = pad_targets(box_list, args.max_boxes)
-    hist, init_loss = [], None
+    apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
+
+    # eval: collect raw predictions; scoring happens in main()
+    def eval_preds(state):
+        preds = []
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        for s in range(0, len(val_images), args.batch):
+            out, _ = apply(variables, jnp.asarray(val_images[s : s + args.batch]))
+            preds.append(
+                {
+                    "pred_class": np.asarray(out["pred_class"]),
+                    "pred_boxes": np.asarray(out["pred_boxes"]),
+                }
+            )
+        return preds
+
+    hist, init_loss, snapshots = [], None, {}
     t0 = time.time()
     for ep, order in enumerate(orders):
         ep_losses = []
@@ -290,20 +326,11 @@ def run_ours(args, init_sd, images, box_list, orders, val_images, val_boxes):
             ep_losses.append(float(metrics["loss_model"]))
         hist.append(float(np.mean(ep_losses)))
         print(f"[ours] epoch {ep}: loss_model={hist[-1]:.4f}", flush=True)
+        if args.map_every and (ep + 1) % args.map_every == 0:
+            snapshots[ep + 1] = eval_preds(state)
 
-    # eval: collect raw predictions; scoring happens in main()
-    preds = []
-    apply = jax.jit(lambda v, x: model.apply(v, x, train=False))
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    for s in range(0, len(val_images), args.batch):
-        out, _ = apply(variables, jnp.asarray(val_images[s : s + args.batch]))
-        preds.append(
-            {
-                "pred_class": np.asarray(out["pred_class"]),
-                "pred_boxes": np.asarray(out["pred_boxes"]),
-            }
-        )
-    return preds, hist, time.time() - t0, init_loss
+    preds = eval_preds(state)
+    return preds, hist, time.time() - t0, init_loss, snapshots
 
 
 def score(preds, val_boxes, batch, top_k, max_boxes):
@@ -346,6 +373,16 @@ def main(argv=None):
         help="run the reference with its mini-detector BN wiring repaired "
              "(strongest baseline; REFCOMPAT #1)",
     )
+    ap.add_argument(
+        "--map-every", type=int, default=0,
+        help="score val mAP every N epochs on BOTH sides (0 = endpoint only)"
+             " — a full curve instead of one endpoint snapshot",
+    )
+    ap.add_argument(
+        "--lr-drop", type=int, default=0,
+        help="x0.1 lr drop at this epoch, applied identically to both sides "
+             "(0 = constant lr, the reference trainer's own behavior)",
+    )
     args = ap.parse_args(argv)
 
     images, box_list = build_shared_data(
@@ -356,14 +393,24 @@ def main(argv=None):
     )
     orders = epoch_orders(args.num_train, args.batch, args.epochs)
 
-    init_sd, ref_preds, ref_hist, ref_t, ref_l0 = run_reference(
+    init_sd, ref_preds, ref_hist, ref_t, ref_l0, ref_snaps = run_reference(
         args, images, box_list, orders, val_images, val_boxes
     )
-    ours_preds, ours_hist, ours_t, ours_l0 = run_ours(
+    ours_preds, ours_hist, ours_t, ours_l0, ours_snaps = run_ours(
         args, init_sd, images, box_list, orders, val_images, val_boxes
     )
     ref_map = score(ref_preds, val_boxes, args.batch, args.top_k, args.max_boxes)
     ours_map = score(ours_preds, val_boxes, args.batch, args.top_k, args.max_boxes)
+    map_curves = {}
+    if args.map_every:
+        map_curves = {
+            side: {
+                ep: round(score(p, val_boxes, args.batch, args.top_k,
+                                args.max_boxes), 4)
+                for ep, p in snaps.items()
+            }
+            for side, snaps in (("ref", ref_snaps), ("ours", ours_snaps))
+        }
 
     result = {
         "protocol": {
@@ -372,7 +419,9 @@ def main(argv=None):
             "epochs": args.epochs, "blocks": args.blocks,
             "top_k": args.top_k, "lr": args.lr,
             "max_boxes": args.max_boxes, "repair_bn": bool(args.repair_bn),
+            "lr_drop": args.lr_drop, "map_every": args.map_every,
         },
+        **({"map_curves": map_curves} if map_curves else {}),
         "init_loss_ref": round(ref_l0, 4),
         "init_loss_ours": round(ours_l0, 4),
         "ref_map": round(ref_map, 4),
