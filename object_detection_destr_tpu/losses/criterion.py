@@ -95,27 +95,37 @@ def set_criterion(
     )  # (B,)
 
     # ---- box losses over matched pairs (criterion.py:60-71) ------------
+    # A target can be UNMATCHABLE when an image has more valid targets than
+    # prediction rows (T_valid > N): the stacked/padded assignment then
+    # parks it on a padding row (rows >= N). scipy's rectangular solve in
+    # the reference simply leaves such targets out of the matched set, so
+    # they drop from the box losses here too. (Without the guard, the
+    # out-of-range take_along_axis gather fills NaN under jit — a silent
+    # NaN for any top_k < #boxes config.)
+    matched = tgt_valid & (rows < n)  # (B, T)
     pred_xyxy = cxcyhw_to_xyxy(pred_boxes)  # (B, N, 4)
-    matched_pred = jnp.take_along_axis(pred_xyxy, rows[..., None], axis=1)  # (B, T, 4)
+    matched_pred = jnp.take_along_axis(
+        pred_xyxy, jnp.minimum(rows, n - 1)[..., None], axis=1
+    )  # (B, T, 4)
     gt_xyxy = jnp.asarray(targets["boxes"], jnp.float32)
 
-    n_match = jnp.sum(tgt_valid, axis=-1)  # (B,)
+    n_match = jnp.sum(matched, axis=-1)  # (B,)
     denom = jnp.maximum(n_match, 1).astype(jnp.float32)
 
     # nn.L1Loss(): mean over all elements of the matched set (4 * n_match)
     l1 = jnp.sum(
-        jnp.abs(matched_pred - gt_xyxy) * tgt_valid[..., None], axis=(-1, -2)
+        jnp.abs(matched_pred - gt_xyxy) * matched[..., None], axis=(-1, -2)
     ) / (4.0 * denom)
 
     if ciou_mode == "reference":
-        pair_valid = tgt_valid[:, :, None] & tgt_valid[:, None, :]
+        pair_valid = matched[:, :, None] & matched[:, None, :]
         ciou_mat = pairwise_ciou(matched_pred, gt_xyxy)  # (B, T, T)
         ciou = jnp.sum(jnp.where(pair_valid, ciou_mat, 0.0), axis=(-1, -2)) / (
             denom * denom
         )
     else:
         ciou = jnp.sum(
-            elementwise_ciou(matched_pred, gt_xyxy) * tgt_valid, axis=-1
+            elementwise_ciou(matched_pred, gt_xyxy) * matched, axis=-1
         ) / denom
 
     # ---- batch reduction (criterion.py:73-78) --------------------------

@@ -257,3 +257,35 @@ def test_ssd_mining_paper_selects_hardest_negatives():
             kept = neg_bg[:n_keep] if mode == "paper" else neg_bg[::-1][:n_keep]
             per_img.append(-(pos_ll + kept.sum()))
         np.testing.assert_allclose(np.mean(per_img), got, rtol=2e-5)
+
+
+def test_set_criterion_more_targets_than_rows():
+    """T_valid > N: the stacked/padded assignment parks overflow targets on
+    padding rows (rows >= N). They must drop from the box losses — with no
+    guard the out-of-range gather fills NaN under jit (the 96px/top_k-4
+    harness NaN). Mirrors scipy's rectangular-assignment semantics: only
+    min(N, T_valid) pairs exist."""
+    rng = np.random.default_rng(11)
+    outputs, targets = _random_problem(rng, b=2, n=3, t=6)  # 6 valid GTs, 3 rows
+
+    # assignment as the padded two-problem solve produces it: 3 real rows,
+    # 3 overflow targets pointing past N
+    rows = jnp.asarray([[0, 2, 1, 5, 7, 6], [2, 0, 1, 4, 3, 5]], jnp.int32)
+    losses = jax.jit(lambda o, t: set_criterion(o, t, rows=rows))(outputs, targets)
+    for k, v in losses.items():
+        assert np.isfinite(np.asarray(v)), k
+
+    # equality with the criterion restricted to the matchable subset:
+    # keep the 3 matched targets only, shrink T, same rows
+    sub_targets = {
+        "boxes": targets["boxes"][:, :3],
+        "labels": targets["labels"][:, :3],
+        "valid": targets["valid"][:, :3],
+    }
+    sub = set_criterion(outputs, sub_targets, rows=rows[:, :3])
+    np.testing.assert_allclose(
+        np.asarray(losses["bbox"]), np.asarray(sub["bbox"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses["ciou"]), np.asarray(sub["ciou"]), rtol=1e-6
+    )
