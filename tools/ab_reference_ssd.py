@@ -115,8 +115,28 @@ def run_reference(args, images, box_list, label_list, orders, val_images):
 
     from torch.utils.tensorboard import SummaryWriter
 
+    # raw pyramid predictions for shared scoring
+    keep = list(range(args.num_cls)) + [args.num_cls + 1]
+
+    def eval_preds():
+        preds = []
+        model.eval()
+        with torch.no_grad():
+            for s in range(0, len(val_images), args.batch):
+                imgs = torch.from_numpy(
+                    val_images[s : s + args.batch].transpose(0, 3, 1, 2)
+                ).contiguous()
+                out = model(imgs)
+                preds.append(
+                    {
+                        "boxes": [t.numpy() for t in out["boxes"]],
+                        "conf": [t.numpy()[..., keep] for t in out["conf"]],
+                    }
+                )
+        return preds
+
     writer = SummaryWriter(log_dir="/tmp/ab_ssd_ref_runs")
-    g_step, hist = 0, []
+    g_step, hist, snapshots = 0, [], {}
     t0 = time.time()
     for ep, order in enumerate(orders):
         model.train()
@@ -127,24 +147,10 @@ def run_reference(args, images, box_list, label_list, orders, val_images):
         )
         hist.append(loss)
         print(f"[ref-ssd] epoch {ep}: loss={loss:.4f} ({dur:.1f}s)", flush=True)
+        if getattr(args, "map_every", 0) and (ep + 1) % args.map_every == 0:
+            snapshots[ep + 1] = eval_preds()
 
-    # raw pyramid predictions for shared scoring
-    keep = list(range(args.num_cls)) + [args.num_cls + 1]
-    preds = []
-    model.eval()
-    with torch.no_grad():
-        for s in range(0, len(val_images), args.batch):
-            imgs = torch.from_numpy(
-                val_images[s : s + args.batch].transpose(0, 3, 1, 2)
-            ).contiguous()
-            out = model(imgs)
-            preds.append(
-                {
-                    "boxes": [t.numpy() for t in out["boxes"]],
-                    "conf": [t.numpy()[..., keep] for t in out["conf"]],
-                }
-            )
-    return init_sd, preds, hist, time.time() - t0
+    return init_sd, eval_preds(), hist, time.time() - t0, snapshots
 
 
 def run_ours(args, init_sd, images, box_list, label_list, orders, val_images,
@@ -183,7 +189,22 @@ def run_ours(args, init_sd, images, box_list, label_list, orders, val_images,
     for i, lb in enumerate(label_list):
         labels_pad[i, : len(lb)] = lb[: args.max_boxes]
 
-    hist = []
+    apply = jax.jit(lambda v, x: model.apply(v, x))
+
+    def eval_preds(state):
+        preds = []
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        for s in range(0, len(val_images), args.batch):
+            out = apply(variables, jnp.asarray(val_images[s : s + args.batch]))
+            preds.append(
+                {
+                    "boxes": [np.asarray(t) for t in out["boxes"]],
+                    "conf": [np.asarray(t) for t in out["conf"]],
+                }
+            )
+        return preds
+
+    hist, snapshots = [], {}
     t0 = time.time()
     for ep, order in enumerate(orders):
         ep_losses = []
@@ -198,19 +219,10 @@ def run_ours(args, init_sd, images, box_list, label_list, orders, val_images,
             ep_losses.append(float(metrics["loss"]))
         hist.append(float(np.mean(ep_losses)))
         print(f"[ours-ssd] epoch {ep}: loss={hist[-1]:.4f}", flush=True)
+        if getattr(args, "map_every", 0) and (ep + 1) % args.map_every == 0:
+            snapshots[ep + 1] = eval_preds(state)
 
-    preds = []
-    apply = jax.jit(lambda v, x: model.apply(v, x))
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
-    for s in range(0, len(val_images), args.batch):
-        out = apply(variables, jnp.asarray(val_images[s : s + args.batch]))
-        preds.append(
-            {
-                "boxes": [np.asarray(t) for t in out["boxes"]],
-                "conf": [np.asarray(t) for t in out["conf"]],
-            }
-        )
-    return preds, hist, time.time() - t0
+    return eval_preds(state), hist, time.time() - t0, snapshots
 
 
 def score(args, preds, val_boxes, val_labels):
@@ -278,7 +290,16 @@ def main(argv=None):
                          "trains our side twice and reports both (REFCOMPAT "
                          "configurable quirk #5 — the reference's sort keeps "
                          "the easiest negatives)")
+    ap.add_argument("--map-every", type=int, default=0,
+                    help="score val mAP every N epochs on every side "
+                         "(0 = endpoint only)")
     args = ap.parse_args(argv)
+
+    # the whole A/B runs on CPU; pin before the first jax touch (scoring of
+    # the reference happens ahead of run_ours, which used to do the pinning)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     size = 300  # the extra-block pyramid closes only at 300px
 
     images, box_list, label_list = build_shared_data(
@@ -289,22 +310,28 @@ def main(argv=None):
     )
     orders = epoch_orders(args.num_train, args.batch, args.epochs)
 
-    init_sd, ref_preds, ref_hist, ref_t = run_reference(
+    init_sd, ref_preds, ref_hist, ref_t, ref_snaps = run_reference(
         args, images, box_list, label_list, orders, val_images
     )
     ref_map = score(args, ref_preds, val_boxes, val_labels)
 
+    curve = lambda snaps: {
+        ep: round(score(args, p, val_boxes, val_labels), 4)
+        for ep, p in snaps.items()
+    }
     modes = ["reference", "paper"] if args.mining == "both" else [args.mining]
     result = {
         "protocol": {"train": args.num_train, "val": args.num_val,
                      "size": size, "batch": args.batch, "epochs": args.epochs,
-                     "num_cls": args.num_cls, "lr": args.lr},
+                     "num_cls": args.num_cls, "lr": args.lr,
+                     "map_every": args.map_every},
         "ref_map": round(ref_map, 4),
         "ref_loss_curve": [round(x, 2) for x in ref_hist],
         "ref_seconds": round(ref_t, 1),
+        **({"ref_map_curve": curve(ref_snaps)} if ref_snaps else {}),
     }
     for mode in modes:
-        ours_preds, ours_hist, ours_t = run_ours(
+        ours_preds, ours_hist, ours_t, ours_snaps = run_ours(
             args, init_sd, images, box_list, label_list, orders, val_images,
             mining=mode,
         )
@@ -314,6 +341,8 @@ def main(argv=None):
         result[f"gap_pts{sfx}"] = round((ours_map - ref_map) * 100, 2)
         result[f"ours_loss_curve{sfx}"] = [round(x, 2) for x in ours_hist]
         result[f"ours_seconds{sfx}"] = round(ours_t, 1)
+        if ours_snaps:
+            result[f"ours_map_curve{sfx}"] = curve(ours_snaps)
     print(json.dumps(result))
     return result
 
