@@ -244,3 +244,33 @@ def test_grad_accumulation_updates_every_k():
     state, _ = train_step(state, batch)
     p2 = jax.device_get(state.params["cls_embed"]["kernel"])
     assert not np.allclose(p1, p2)  # second one applies the update
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "size,top_k,t_max,blocks",
+    [
+        (96, 4, 6, 2),   # MORE valid targets than queries (the 96px NaN class)
+        (64, 4, 4, 1),   # queries == grid capacity
+        (128, 9, 8, 2),  # non-multiple-of-8 top_k, t < top_k
+    ],
+)
+def test_destr_train_step_finite_degenerate_configs(size, top_k, t_max, blocks):
+    """Config fuzz for silent NaNs: any (image_size, top_k, targets) combo a
+    user can type into the CLI must produce finite losses — found in the wild
+    when top_k < #valid boxes parked targets on padding rows (criterion.py
+    guard)."""
+    rng = np.random.default_rng(size + top_k)
+    cfg = DestrConfig(
+        hidden_dim=32, num_heads=4, ffn_dim=64, dropout=0.0,
+        num_encoder_blocks=blocks, num_decoder_blocks=blocks, top_k=top_k,
+    )
+    tcfg = TrainConfig(batch_size=2, image_size=size, lr=1e-3, lr_backbone=0.0)
+    model = build_destr(cfg)
+    state, tx = create_destr_state(model, tcfg, image_size=size)
+    step = make_destr_train_step(model, tx, tcfg)
+    batch = _tiny_batch(rng, b=2, size=size, t=t_max)
+    for _ in range(2):
+        state, metrics = step(state, batch)
+        for k, v in metrics.items():
+            assert np.isfinite(np.asarray(v)), (k, size, top_k, t_max, blocks)

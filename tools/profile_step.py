@@ -120,7 +120,9 @@ def summarize_trace(trace, steps: int, top: int) -> None:
         op_dur[name] += dur
         op_cnt[name] += 1
         if name not in op_long:
-            op_long[name] = a.get("long_name", "")[:90]
+            op_long[name] = a.get("long_name", "")[
+                : (4000 if os.environ.get("PROFILE_FULL_NAMES") else 90)
+            ]
         total += dur
 
     if step_ms:
