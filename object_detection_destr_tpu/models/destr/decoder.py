@@ -58,12 +58,17 @@ class ClsRegBranch(nn.Module):
         value: jnp.ndarray,  # (B, L, C)
         key_valid_mask: jnp.ndarray,  # (B, L)
         deterministic: bool = True,
+        attn_out: jnp.ndarray | None = None,  # precomputed attention (see
+        # DecoderBlock's merged cls+reg flash call; attention is
+        # parameter-free so the param tree is unchanged either way)
     ) -> jnp.ndarray:
         drop = nn.Dropout(self.dropout, deterministic=deterministic)
         # single head: scale is 1/sqrt(2C) (self_attention.py:26 on the
         # concat dim; the reference calls SelfAttention(heads_num=1) with
         # unsqueezed head axes, decoder_block.py:246-251)
-        if self.use_flash:
+        if attn_out is not None:
+            ca = attn_out
+        elif self.use_flash:
             # fused Pallas path: d_qk = 2C, d_v = C (kernel supports dv != d);
             # the long axis here is S_k = HW (up to 7056 dilated), exactly
             # where streaming K/V tiles beats the materialized logits matrix.
@@ -166,12 +171,28 @@ class DecoderBlock(nn.Module):
             jnp.concatenate([split_heads(k_enc, h2), split_heads(k_pos, h2)], axis=-1)
         )
 
+        ca_cls = ca_reg = None
+        if self.use_flash:
+            # one merged flash call for both branches: rows of cross
+            # attention are independent, and cls/reg share K and V, so
+            # stacking the two query sets along the sequence axis halves the
+            # kernel launches (fwd AND bwd), streams K/V once instead of
+            # twice, and lets the fused backward accumulate the joint dK/dV
+            # in-kernel instead of XLA adding two per-branch gradients.
+            rate, seed = attention_dropout_seed(self, self.dropout, deterministic)
+            s = q_cls.shape[1]
+            ca = flash_attention_packed(
+                jnp.concatenate([q_cls, q_reg], axis=1), k, v2, 1,
+                enc_valid_mask, seed, rate,
+            )
+            ca_cls, ca_reg = ca[:, :s], ca[:, s:]
+
         cls_out = ClsRegBranch(
             c, self.dropout, self.use_flash, dtype=self.dtype, name="cls_branch"
-        )(o_cls, q_cls, k, v2, enc_valid_mask, deterministic)
+        )(o_cls, q_cls, k, v2, enc_valid_mask, deterministic, attn_out=ca_cls)
         reg_out = ClsRegBranch(
             c, self.dropout, self.use_flash, dtype=self.dtype, name="reg_branch"
-        )(o_reg, q_reg, k, v2, enc_valid_mask, deterministic)
+        )(o_reg, q_reg, k, v2, enc_valid_mask, deterministic, attn_out=ca_reg)
         return jnp.concatenate([cls_out, reg_out], axis=-1)
 
 

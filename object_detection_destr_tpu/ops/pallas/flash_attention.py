@@ -64,8 +64,15 @@ def _round_up(x: int, m: int) -> int:
 
 def _plan(sq: int, sk: int, block_q: int, block_k: int):
     """Tile sizes + padded lengths. bq is sublane-aligned (8), bk lane-aligned
-    (128); both clip to the (padded) sequence so short shapes stay one tile."""
-    bq = min(block_q, _round_up(sq, 8))
+    (128); both clip to the (padded) sequence so short shapes stay one tile.
+    A q axis a bit over the block cap (e.g. the decoder's merged cls+reg
+    cross-attention, sq=2*top_k=600) would round up to 2 tiles (1024 rows of
+    work for 600 real ones); up to 1.5x the cap we widen bq to keep it one
+    tile instead — strictly fewer padded rows."""
+    one_q = _round_up(sq, 8)
+    bq = min(block_q, one_q)
+    if bq < one_q <= block_q + block_q // 2:
+        bq = one_q
     bk = min(block_k, _round_up(sk, 128))
     return bq, bk, _round_up(sq, bq), _round_up(sk, bk)
 
