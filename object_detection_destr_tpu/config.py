@@ -95,6 +95,9 @@ class TrainConfig:
     set_cost_ciou: float = 0.5
     coef_class_loss: float = 0.5  # SSD class/local blend
     grad_accum_steps: int = 1  # optax.MultiSteps; 1 = off
+    # AdamW update layout: "auto" | "per-leaf" | "grouped" | "flat"
+    # (train/optim.py::build_optimizer — grouped stacks same-shaped leaves)
+    opt_layout: str = "auto"
     augment_factor: int = 5
     resume: bool = False
     resume_from: str = "model_weights"

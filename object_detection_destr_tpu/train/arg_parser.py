@@ -30,6 +30,11 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--coco_eval", action="store_true",
                    help="also compute COCO-style AP at validation")
     p.add_argument("--grad_accum_steps", type=int, default=1)
+    p.add_argument("--opt_layout", type=str, default="auto",
+                   choices=["auto", "per-leaf", "grouped", "flat"],
+                   help="AdamW update layout (train/optim.py): grouped "
+                        "stacks same-shaped leaves into one fused update "
+                        "per shape group")
     # the reference's --device selects cuda/cpu (arg_parser.py:85-89);
     # here devices come from the mesh — the flag is accepted and ignored
     p.add_argument("--device", type=str, default="tpu")
@@ -109,6 +114,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         profile_dir=args.profile_dir,
         coco_eval=args.coco_eval,
         grad_accum_steps=args.grad_accum_steps,
+        opt_layout=getattr(args, "opt_layout", "auto"),
         image_size=getattr(args, "image_size", 640),
         letterbox=getattr(args, "letterbox", False),
     )

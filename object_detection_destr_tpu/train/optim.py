@@ -23,7 +23,7 @@ import optax
 from flax import traverse_util
 from jax.flatten_util import ravel_pytree
 
-__all__ = ["build_optimizer", "param_labels", "fused_adamw"]
+__all__ = ["build_optimizer", "param_labels", "fused_adamw", "grouped_adamw"]
 
 _TRAINABLE_BACKBONE_PREFIXES = ("layer2", "layer3", "layer4")
 
@@ -123,6 +123,106 @@ def fused_adamw(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class GroupedAdamWState(NamedTuple):
+    count: jnp.ndarray  # () int32
+    m: tuple  # per shape-group stacked first moments, (n_i, *shape_i) f32
+    v: tuple  # per shape-group stacked second moments
+
+
+def _lr_at(spec, count):
+    """Resolve an lr spec (float or optax schedule) at pre-increment count."""
+    if callable(spec):
+        return jnp.asarray(spec(count), jnp.float32)
+    return jnp.asarray(spec, jnp.float32)
+
+
+def grouped_adamw(
+    params: Any,
+    lr,
+    lr_backbone,
+    weight_decay: float = 0.01,
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """AdamW over shape-grouped stacked leaves — the TPU-friendly middle
+    ground between the per-leaf ``multi_transform`` (hundreds of tiny
+    fusions, ~55 GB/s effective on the 2048x256 decoder leaves in the r3
+    profile) and the flat :func:`fused_adamw` (a measured ~2x step
+    REGRESSION: ``ravel_pytree`` relayouts every tiled leaf to linear).
+
+    Leaves sharing ``(label, shape, dtype)`` — e.g. the six decoder blocks'
+    identical weight matrices — are ``jnp.stack``-ed along a NEW major axis.
+    Stacking only concatenates over the major dimension, so the minor-dims
+    (8,128) tiling is preserved: no relayout, one fused elementwise update
+    per group instead of per leaf, and the slices feeding
+    ``optax.apply_updates`` fuse into the consumer.
+
+    Math is identical to ``optax.adamw`` (scale_by_adam -> add_decayed_weights
+    -> scale(-lr)); the per-group policy mirrors :func:`param_labels`
+    ('frozen' leaves get zero updates and carry NO optimizer state, matching
+    ``optax.set_to_zero``). ``lr`` / ``lr_backbone`` accept floats or optax
+    schedules (evaluated at the pre-increment step count, like
+    ``optax.scale_by_schedule``); ``lr_backbone == 0`` freezes the backbone
+    group entirely.
+    """
+    bb_frozen = (not callable(lr_backbone)) and lr_backbone <= 0
+    lr_specs = {"main": lr, "backbone": (0.0 if bb_frozen else lr_backbone)}
+
+    labels = param_labels(params)
+    leaves, treedef = jax.tree.flatten(params)
+    lab_leaves = jax.tree.leaves(labels)
+    assert len(leaves) == len(lab_leaves)
+    by_key: dict = {}
+    for i, (leaf, lab) in enumerate(zip(leaves, lab_leaves)):
+        if lab == "frozen" or (lab == "backbone" and bb_frozen):
+            continue
+        key = (lab, tuple(leaf.shape), jnp.dtype(leaf.dtype).name)
+        by_key.setdefault(key, []).append(i)
+    group_list = [(k, tuple(by_key[k])) for k in sorted(by_key)]
+
+    def init_fn(params):
+        p_leaves = treedef.flatten_up_to(params)
+        def zeros():
+            # m and v must be DISTINCT buffers: the train step donates the
+            # whole state, and aliased leaves trip XLA's double-donation check
+            return tuple(
+                jnp.zeros((len(idxs),) + p_leaves[idxs[0]].shape, jnp.float32)
+                for _, idxs in group_list
+            )
+
+        return GroupedAdamWState(count=jnp.zeros((), jnp.int32), m=zeros(), v=zeros())
+
+    def update_fn(grads, state, params=None):
+        if params is None:
+            raise ValueError("grouped_adamw requires params (weight decay)")
+        g_leaves = treedef.flatten_up_to(grads)
+        p_leaves = treedef.flatten_up_to(params)
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1**c
+        bc2 = 1.0 - b2**c
+        upd_leaves = [jnp.zeros_like(p) for p in p_leaves]
+        new_m, new_v = [], []
+        for gi, ((lab, _, _), idxs) in enumerate(group_list):
+            g = jnp.stack([g_leaves[i] for i in idxs]).astype(jnp.float32)
+            p = jnp.stack([p_leaves[i] for i in idxs]).astype(jnp.float32)
+            m = state.m[gi] * b1 + g * (1.0 - b1)
+            v = state.v[gi] * b2 + g * g * (1.0 - b2)
+            lr_t = _lr_at(lr_specs[lab], state.count)
+            upd = -lr_t * ((m / bc1) / (jnp.sqrt(v / bc2) + eps) + weight_decay * p)
+            upd = upd.astype(p_leaves[idxs[0]].dtype)
+            for j, i in enumerate(idxs):
+                upd_leaves[i] = upd[j]
+            new_m.append(m)
+            new_v.append(v)
+        return treedef.unflatten(upd_leaves), GroupedAdamWState(
+            count=count, m=tuple(new_m), v=tuple(new_v)
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
 def build_optimizer(
     params: Any,
     lr: float = 1e-5,
@@ -136,18 +236,25 @@ def build_optimizer(
     accumulation (``optax.MultiSteps`` — the reference has none, SURVEY.md
     §2.2 lists it as an optional wrapper for large effective batches).
 
-    ``fused=True`` selects the flat single-fusion AdamW (:func:`fused_adamw`,
-    same math). MEASURED TPU REGRESSION (r3, b8/640 DESTR): the flat form
-    took the step 47.6 -> ~101.7 ms — ravel/unravel forces a per-leaf tiled
-    -> linear relayout (two ~22/11 ms reshape ops + concatenates in the
-    profile), far exceeding the ~8 ms per-leaf tail it was meant to remove.
-    ``"auto"`` therefore resolves to the per-leaf path everywhere; the fused
-    form stays available (and parity-tested) for future jaxlibs where
-    flattening is layout-free.
+    ``fused`` selects the update layout:
+
+    - ``False`` — per-leaf ``optax.multi_transform`` (hundreds of tiny
+      fusions; the r2 baseline).
+    - ``"grouped"`` — :func:`grouped_adamw`: same-shaped leaves stacked
+      along a new major axis (layout-preserving), one fused update per
+      shape group. Schedules supported for both lr specs.
+    - ``True`` — the flat single-vector :func:`fused_adamw`. MEASURED TPU
+      REGRESSION (r3, b8/640 DESTR): 47.6 -> ~101.7 ms — ``ravel_pytree``
+      forces a per-leaf tiled -> linear relayout. Kept parity-tested for
+      future jaxlibs where flattening is layout-free; do not default to it.
+    - ``"auto"`` — currently the per-leaf path (grouped flips on once its
+      TPU measurement lands; see BASELINE.md r3).
     """
     if fused == "auto":
         fused = False
-    if fused:
+    if fused == "grouped":
+        tx = grouped_adamw(params, lr, lr_backbone, weight_decay=weight_decay)
+    elif fused:
         tx = fused_adamw(params, lr, lr_backbone, weight_decay=weight_decay)
     else:
         transforms = {

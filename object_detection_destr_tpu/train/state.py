@@ -51,6 +51,9 @@ def _init_state(model, dummy_images, train_cfg: TrainConfig, seed_shift: int = 0
         lr=train_cfg.lr,
         lr_backbone=train_cfg.lr_backbone,
         grad_accum_steps=train_cfg.grad_accum_steps,
+        fused={"per-leaf": False, "grouped": "grouped", "flat": True}.get(
+            getattr(train_cfg, "opt_layout", "auto"), "auto"
+        ),
     )
     return (
         TrainState(

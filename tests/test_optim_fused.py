@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from object_detection_destr_tpu.train.optim import (  # noqa: E402
     build_optimizer,
     fused_adamw,
+    grouped_adamw,
     param_labels,
 )
 
@@ -109,6 +110,123 @@ def test_fused_freezes_frozen_and_scales_groups():
             assert np.all(u == 0.0), "frozen leaves must not move"
         else:
             assert np.any(u != 0.0)
+
+
+def _blocky_params(rng):
+    # repeated-shape leaves across sibling scopes — the case grouped_adamw
+    # stacks (e.g. the six decoder blocks' identical weight matrices)
+    def block():
+        return {
+            "attn": {"kernel": jnp.asarray(rng.normal(size=(16, 16)), jnp.float32)},
+            "ffn": {
+                "kernel": jnp.asarray(rng.normal(size=(16, 32)), jnp.float32),
+                "bias": jnp.zeros((32,), jnp.float32),
+            },
+        }
+
+    p = _toy_params(rng)
+    p["decoder"] = {f"block{i}": block() for i in range(4)}
+    return p
+
+
+def test_grouped_matches_per_leaf_multi_step():
+    rng = np.random.default_rng(7)
+    params = _blocky_params(rng)
+    grads_seq = [
+        jax.tree.map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params
+        )
+        for _ in range(4)
+    ]
+    for lr_backbone in (1e-4, 0.0):
+        ref = _run(
+            build_optimizer(params, lr=1e-3, lr_backbone=lr_backbone, fused=False),
+            params, grads_seq,
+        )
+        grp = _run(
+            build_optimizer(params, lr=1e-3, lr_backbone=lr_backbone, fused="grouped"),
+            params, grads_seq,
+        )
+        for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(grp)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5
+            )
+
+
+def test_grouped_matches_per_leaf_with_schedule():
+    # lr-drop schedules (tools/ab_reference.py --lr-drop) must agree with the
+    # per-leaf optax.scale_by_schedule semantics (evaluated pre-increment)
+    rng = np.random.default_rng(8)
+    params = _blocky_params(rng)
+    grads_seq = [
+        jax.tree.map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params
+        )
+        for _ in range(5)
+    ]
+    lr = lambda step: 1e-3 * jnp.where(step >= 3, 0.1, 1.0)  # noqa: E731
+    lr_bb = lambda step: 1e-4 * jnp.where(step >= 3, 0.1, 1.0)  # noqa: E731
+    ref = _run(
+        build_optimizer(params, lr=lr, lr_backbone=lr_bb, fused=False),
+        params, grads_seq,
+    )
+    grp = _run(
+        build_optimizer(params, lr=lr, lr_backbone=lr_bb, fused="grouped"),
+        params, grads_seq,
+    )
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(grp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-5)
+
+
+def test_grouped_state_shapes_and_frozen():
+    rng = np.random.default_rng(9)
+    params = _blocky_params(rng)
+    tx = grouped_adamw(params, lr=1e-3, lr_backbone=1e-4)
+    state = tx.init(params)
+    # the four identical decoder blocks must share stacked groups: every
+    # stacked moment's leading dim counts its group's leaves, and the total
+    # stacked element count equals the trainable (non-frozen) element count
+    labels = jax.tree.leaves(param_labels(params))
+    leaves = jax.tree.leaves(params)
+    trainable = sum(l.size for l, lab in zip(leaves, labels) if lab != "frozen")
+    assert sum(m.size for m in state.m) == trainable
+    assert any(m.shape[0] == 4 for m in state.m), "block leaves should stack 4-deep"
+    grads = jax.tree.map(lambda p: jnp.ones_like(p), params)
+    upd, _ = tx.update(grads, state, params)
+    for u, lab in zip(jax.tree.leaves(upd), labels):
+        u = np.asarray(u)
+        if lab == "frozen":
+            assert np.all(u == 0.0)
+        else:
+            assert np.any(u != 0.0)
+
+
+def test_grouped_update_under_donation():
+    # regression: init_fn once aliased m and v to the SAME zero buffers,
+    # which trips XLA's "donate the same buffer twice" check the moment the
+    # train step donates the optimizer state (caught by the CLI drive)
+    rng = np.random.default_rng(10)
+    params = _blocky_params(rng)
+    tx = grouped_adamw(params, lr=1e-3, lr_backbone=1e-4)
+    state = tx.init(params)
+    leaves = jax.tree.leaves(state)
+    bufs = [l.unsafe_buffer_pointer() for l in leaves if hasattr(l, "unsafe_buffer_pointer")]
+    assert len(bufs) == len(set(bufs)), "optimizer state leaves must not alias"
+    grads = jax.tree.map(
+        lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params
+    )
+
+    @jax.jit
+    def step(state, params, grads):
+        upd, state = tx.update(grads, state, params)
+        return jax.tree.map(lambda p, u: p + u, params, upd), state
+
+    donating = jax.jit(step, donate_argnums=(0, 1))
+    p1, s1 = donating(state, params, grads)
+    p2, s2 = donating(s1, p1, grads)
+    assert int(s2.count) == 2
+    for leaf in jax.tree.leaves(p2):
+        assert np.all(np.isfinite(np.asarray(leaf)))
 
 
 def test_fused_update_under_jit_and_donation():

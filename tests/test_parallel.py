@@ -178,10 +178,13 @@ def _tiny_destr_batch(rng, b=8, t=4, size=64):
     }
 
 
-def test_shard_map_step_matches_single_device():
+@pytest.mark.parametrize("opt_layout", ["auto", "grouped"])
+def test_shard_map_step_matches_single_device(opt_layout):
     """The shard_map-wrapped train step (mesh passed to the factory) must
     reproduce the single-device step: criterion reductions psum to the
-    global batch and BN stats pmean over the mesh (flax axis_name)."""
+    global batch and BN stats pmean over the mesh (flax axis_name). Run for
+    both AdamW layouts — the grouped (stacked-leaf) optimizer state must
+    flow through the replicated state sharding like the per-leaf one."""
     import dataclasses
 
     from object_detection_destr_tpu.config import DestrConfig, TrainConfig
@@ -193,7 +196,8 @@ def test_shard_map_step_matches_single_device():
         hidden_dim=32, num_heads=4, num_encoder_blocks=1, num_decoder_blocks=1,
         top_k=4, ffn_dim=64, dropout=0.0,
     )
-    train_cfg = TrainConfig(batch_size=8, image_size=64, lr=1e-3, lr_backbone=1e-3)
+    train_cfg = TrainConfig(batch_size=8, image_size=64, lr=1e-3, lr_backbone=1e-3,
+                            opt_layout=opt_layout)
     model_s = build_destr(config)
     state, tx = create_destr_state(model_s, train_cfg, image_size=64)
     step_s = make_destr_train_step(model_s, tx, train_cfg)

@@ -33,6 +33,8 @@ def main() -> None:
     ap.add_argument("--flash", action="store_true")
     ap.add_argument("--backbone", type=str, default="resnet50")
     ap.add_argument("--dilation", action="store_true")
+    ap.add_argument("--opt_layout", type=str, default="auto",
+                    choices=["auto", "per-leaf", "grouped", "flat"])
     args = ap.parse_args()
 
     from object_detection_destr_tpu.config import DestrConfig, TrainConfig
@@ -42,7 +44,8 @@ def main() -> None:
 
     config = DestrConfig(compute_dtype="bfloat16", use_flash_attention=args.flash,
                          backbone=args.backbone, dilation=args.dilation)
-    train_cfg = TrainConfig(batch_size=args.batch, image_size=args.image)
+    train_cfg = TrainConfig(batch_size=args.batch, image_size=args.image,
+                            opt_layout=args.opt_layout)
     model = build_destr(config)
     state, tx = create_destr_state(model, train_cfg, image_size=args.image)
     train_step = make_destr_train_step(model, tx, train_cfg)
