@@ -123,6 +123,15 @@ class TrainConfig:
     # shorter-side-672 + center-crop-640 geometry exactly
     # (src/dataset/transforms.py:170-181)
     letterbox: bool = False
+    # PRNG impl for the training-time dropout stream (train/state.py). "rbg"
+    # lowers jax.random draws to the TPU-native RngBitGenerator — the default
+    # threefry's 20-round xor chains are recomputed inside the step's hot
+    # dropout fusions and showed up as measurable VPU time in the b8/640
+    # profile (BASELINE.md r3). Param init stays threefry regardless, so
+    # initialization (and every converted-checkpoint parity test) is
+    # unaffected; dropout is a statistical op, so the draw stream is free to
+    # differ. "threefry" restores the JAX default stream.
+    rng_impl: str = "rbg"
     # parallelism
     num_data_shards: int = 1  # devices on the 'data' mesh axis
 

@@ -35,6 +35,10 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help="AdamW update layout (train/optim.py): grouped "
                         "stacks same-shaped leaves into one fused update "
                         "per shape group")
+    p.add_argument("--rng_impl", type=str, default="rbg",
+                   choices=["rbg", "threefry"],
+                   help="dropout-stream PRNG: rbg = TPU-native bit "
+                        "generator (default), threefry = JAX default")
     # the reference's --device selects cuda/cpu (arg_parser.py:85-89);
     # here devices come from the mesh — the flag is accepted and ignored
     p.add_argument("--device", type=str, default="tpu")
@@ -115,6 +119,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         coco_eval=args.coco_eval,
         grad_accum_steps=args.grad_accum_steps,
         opt_layout=getattr(args, "opt_layout", "auto"),
+        rng_impl=getattr(args, "rng_impl", "rbg"),
         image_size=getattr(args, "image_size", 640),
         letterbox=getattr(args, "letterbox", False),
     )

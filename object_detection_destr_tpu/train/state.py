@@ -41,6 +41,11 @@ class TrainState(struct.PyTreeNode):
 def _init_state(model, dummy_images, train_cfg: TrainConfig, seed_shift: int = 0):
     rng = jax.random.key(train_cfg.seed + seed_shift)
     init_rng, state_rng = jax.random.split(rng)
+    impl = getattr(train_cfg, "rng_impl", "rbg")
+    if impl != "threefry":
+        # dropout stream on the cheap TPU-native generator (config.rng_impl);
+        # init_rng stays threefry so param init is bit-stable across configs
+        state_rng = jax.random.key(train_cfg.seed + seed_shift, impl=impl)
     variables = model.init(
         {"params": init_rng, "dropout": init_rng}, dummy_images, train=False
     )

@@ -274,3 +274,39 @@ def test_destr_train_step_finite_degenerate_configs(size, top_k, t_max, blocks):
         state, metrics = step(state, batch)
         for k, v in metrics.items():
             assert np.isfinite(np.asarray(v)), (k, size, top_k, t_max, blocks)
+
+
+@pytest.mark.parametrize("impl", ["rbg", "threefry"])
+def test_rng_impl_dropout_stream(impl, tmp_path):
+    """TrainConfig.rng_impl selects the dropout-stream PRNG (state.py): "rbg"
+    lowers draws to the TPU-native RngBitGenerator (the default — threefry
+    xor chains were measurable VPU time in the b8/640 profile, BASELINE.md
+    r3), "threefry" restores the JAX default. Either way the step must run
+    with dropout active, and the typed key must survive a checkpoint
+    round-trip with its impl intact."""
+    cfg = DestrConfig(
+        hidden_dim=32, num_heads=4, ffn_dim=64, dropout=0.3,
+        num_encoder_blocks=1, num_decoder_blocks=1, top_k=4,
+    )
+    tcfg = TrainConfig(
+        batch_size=2, image_size=64, lr=1e-3, lr_backbone=0.0, rng_impl=impl
+    )
+    model = build_destr(cfg)
+    state, tx = create_destr_state(model, tcfg, image_size=64)
+    tag = {"rbg": "rbg", "threefry": "fry"}[impl]
+    assert tag in str(state.rng.dtype)  # key<rbg> / key<fry> dtype tag
+    step = make_destr_train_step(model, tx, tcfg)
+    batch = _tiny_batch(np.random.default_rng(7), b=2, size=64, t=4)
+    state, metrics = step(state, batch)
+    for k, v in metrics.items():
+        assert np.isfinite(np.asarray(v)), (impl, k)
+    save_checkpoint(str(tmp_path), "rng", state, loader_state={"epoch": 0, "step": 1})
+    restored = restore_checkpoint(str(tmp_path), "rng", state)["state"]
+    assert restored.rng.dtype == state.rng.dtype
+    np.testing.assert_array_equal(
+        jax.device_get(jax.random.key_data(restored.rng)),
+        jax.device_get(jax.random.key_data(state.rng)),
+    )
+    # the restored key drives another step
+    state2, m2 = step(restored, batch)
+    assert np.isfinite(np.asarray(m2["loss"]))
