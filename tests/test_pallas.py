@@ -369,6 +369,62 @@ def test_decoder_flash_path_matches_xla():
     np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_x), rtol=3e-4, atol=3e-5)
 
 
+def test_decoder_flash_grads_match_xla():
+    """Whole-decoder gradient parity between the flash and XLA paths.
+
+    Exercises the MERGED cls/reg cross-attention backward (decoder.py: one
+    flash call over the stacked query sets, joint dK/dV accumulated
+    in-kernel) which the forward-only test above cannot see: the stacked
+    rows share K/V, so any error in the joint accumulation shows up only
+    in the parameter gradients of ca_k_enc / ca_k_pos / ca_v_enc.
+    """
+    import flax.linen as fnn
+
+    from object_detection_destr_tpu.models.destr.decoder import Decoder
+    from object_detection_destr_tpu.models.destr.layers import Mlp
+
+    rng = np.random.default_rng(15)
+    b, s, l, c = 2, 8, 30, 32
+    objs = jnp.asarray(rng.normal(size=(b, s, 2 * c)).astype(np.float32))
+    enc = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    fine_pos = jnp.asarray(rng.normal(size=(b, l, c)).astype(np.float32))
+    obj_pos = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    centers = jnp.asarray(rng.uniform(0.1, 0.9, size=(b, s, 2)).astype(np.float32))
+    valid = np.ones((b, l), bool)
+    valid[1, 20:] = False
+    valid = jnp.asarray(valid)
+
+    class Host(fnn.Module):
+        use_flash: bool
+
+        def setup(self):
+            self.bbox = Mlp([c, 4], name="bbox")
+            # 1 block keeps the interpret-mode grad traces cheap; the merged
+            # cross-attention backward is per-block identical.
+            self.dec = Decoder(hidden_dim=c, num_heads=4, num_blocks=1,
+                               dropout=0.0, use_flash=self.use_flash, name="dec")
+
+        def __call__(self):
+            return self.dec(objs, enc, valid, fine_pos, obj_pos, centers,
+                            self.bbox)
+
+    params = Host(use_flash=False).init(jax.random.key(3))["params"]
+
+    def loss(flash):
+        def f(p):
+            return jnp.sum(Host(use_flash=flash).apply({"params": p}) ** 2)
+        return f
+
+    gx = jax.grad(loss(False))(params)
+    gf = jax.grad(loss(True))(params)
+    jax.tree.map(
+        lambda a, bb: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(bb), rtol=2e-3, atol=2e-4
+        ),
+        gx, gf,
+    )
+
+
 def test_decoder_self_attn_flash_path_matches_xla():
     """The plain self-attention branch of the decoder block must produce the
     same output through the flash kernel as through XLA (eval mode; the pair
