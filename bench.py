@@ -259,7 +259,11 @@ def main() -> None:
                 "metric": (
                     f"{name} {MODE} images/sec/chip "
                     f"(bf16, {image}px, b{BATCH}, {_TIMING_METHOD}; "
-                    f"r1 wall numbers were relay artifacts){extra_txt}"
+                    f"r1 wall numbers were relay artifacts; vs_baseline is "
+                    f"vs the r1-CODE device-time anchor "
+                    f"{BASELINE_IMAGES_PER_SEC} img/s, NOT vs PyTorch — "
+                    f"the reference publishes no numbers and no GPU exists "
+                    f"here, see BASELINE.md){extra_txt}"
                 ),
                 "value": round(images_per_sec, 3),
                 "unit": "images/sec/chip",

@@ -15,6 +15,14 @@ __all__ = ["get_parser", "config_from_args"]
 def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--lr", type=float, default=1e-5)
     p.add_argument("--lr_backbone", type=float, default=1e-4)
+    p.add_argument("--lr_drop", type=int, default=0,
+                   help="epoch at which both lrs multiply by "
+                        "--lr_drop_factor (0 = constant lr, the reference "
+                        "behavior — its trainer has no schedule). NOTE: "
+                        "--resume requires the same lr_drop setting the "
+                        "checkpoint was written with (the schedule lives "
+                        "in the optimizer state tree)")
+    p.add_argument("--lr_drop_factor", type=float, default=0.1)
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=12)
     p.add_argument("--augment_factor", type=int, default=5)
@@ -101,6 +109,8 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
     train = TrainConfig(
         lr=args.lr,
         lr_backbone=args.lr_backbone,
+        lr_drop=args.lr_drop,
+        lr_drop_factor=args.lr_drop_factor,
         epochs=args.epochs,
         batch_size=args.batch_size,
         set_cost_class=getattr(args, "set_cost_class", 0.5),

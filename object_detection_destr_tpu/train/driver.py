@@ -150,8 +150,14 @@ def train_destr(config: Config, mesh=None) -> dict:
         dataclasses.replace(config.destr, bn_axis_name="data")
         if step_mesh is not None else config.destr
     )
+    canvas = int(cfg_t.image_size * 672 / 640)  # reference eval geometry
+    train_loader, valid_loader = _make_loaders(config, canvas, "destr")
+
     model = build_destr(destr_cfg)
-    state, tx = create_destr_state(model, cfg_t, image_size=cfg_t.image_size)
+    state, tx = create_destr_state(
+        model, cfg_t, image_size=cfg_t.image_size,
+        steps_per_epoch=len(train_loader),  # lr_drop boundary in steps
+    )
     train_step = make_destr_train_step(model, tx, cfg_t, mesh=step_mesh)
     eval_step = make_destr_eval_step(model, cfg_t, mesh=step_mesh)
     metric = MeanAveragePrecision(num_cls=1, num_pred=config.destr.top_k)
@@ -160,9 +166,6 @@ def train_destr(config: Config, mesh=None) -> dict:
         if cfg_t.coco_eval
         else None
     )
-
-    canvas = int(cfg_t.image_size * 672 / 640)  # reference eval geometry
-    train_loader, valid_loader = _make_loaders(config, canvas, "destr")
 
     logger = MetricLogger(cfg_t.log_dir)
     best_val = np.inf
@@ -289,14 +292,17 @@ def train_ssd(config: Config, mesh=None) -> dict:
         dataclasses.replace(config.ssd, bn_axis_name="data")
         if step_mesh is not None else config.ssd
     )
+    canvas = int(config.ssd.image_size * 1.28)  # headroom for the random patch
+    train_loader, valid_loader = _make_loaders(config, canvas, "ssd")
+
     model = build_ssd(ssd_cfg)
-    state, tx = create_ssd_state(model, cfg_t, image_size=ssd_cfg.image_size)
+    state, tx = create_ssd_state(
+        model, cfg_t, image_size=ssd_cfg.image_size,
+        steps_per_epoch=len(train_loader),
+    )
     train_step = make_ssd_train_step(model, tx, cfg_t, ssd_cfg, mesh=step_mesh)
     eval_step = make_ssd_eval_step(model, cfg_t, ssd_cfg, mesh=step_mesh)
     metric = MeanAveragePrecision(num_cls=config.ssd.num_cls)
-
-    canvas = int(config.ssd.image_size * 1.28)  # headroom for the random patch
-    train_loader, valid_loader = _make_loaders(config, canvas, "ssd")
 
     logger = MetricLogger(cfg_t.log_dir)
     best_val = np.inf

@@ -255,6 +255,12 @@ def build_optimizer(
     if fused == "grouped":
         tx = grouped_adamw(params, lr, lr_backbone, weight_decay=weight_decay)
     elif fused:
+        if callable(lr) or callable(lr_backbone):
+            raise ValueError(
+                "the flat fused layout bakes lr into a static per-element "
+                "vector and cannot take a schedule; use opt_layout "
+                "per-leaf/grouped with lr_drop"
+            )
         tx = fused_adamw(params, lr, lr_backbone, weight_decay=weight_decay)
     else:
         transforms = {

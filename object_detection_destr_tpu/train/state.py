@@ -38,7 +38,29 @@ class TrainState(struct.PyTreeNode):
         )
 
 
-def _init_state(model, dummy_images, train_cfg: TrainConfig, seed_shift: int = 0):
+def _lr_specs(train_cfg: TrainConfig, steps_per_epoch: int):
+    """(lr, lr_backbone) as floats, or optax schedules when ``lr_drop`` is
+    set (config.TrainConfig.lr_drop — a shared extension; the reference has
+    no schedule). The boundary is a STEP count so the drop survives
+    checkpoint resume via the optimizer count."""
+    lr, lr_bb = train_cfg.lr, train_cfg.lr_backbone
+    drop = getattr(train_cfg, "lr_drop", 0)
+    if drop and drop > 0 and steps_per_epoch > 0:
+        factor = getattr(train_cfg, "lr_drop_factor", 0.1)
+        boundary = {drop * steps_per_epoch: factor}
+        lr = optax.piecewise_constant_schedule(lr, boundary)
+        if lr_bb > 0:
+            lr_bb = optax.piecewise_constant_schedule(lr_bb, boundary)
+    return lr, lr_bb
+
+
+def _init_state(
+    model,
+    dummy_images,
+    train_cfg: TrainConfig,
+    seed_shift: int = 0,
+    steps_per_epoch: int = 0,
+):
     rng = jax.random.key(train_cfg.seed + seed_shift)
     init_rng, state_rng = jax.random.split(rng)
     impl = getattr(train_cfg, "rng_impl", "rbg")
@@ -51,10 +73,11 @@ def _init_state(model, dummy_images, train_cfg: TrainConfig, seed_shift: int = 0
     )
     params = variables["params"]
     batch_stats = variables.get("batch_stats", {})
+    lr, lr_backbone = _lr_specs(train_cfg, steps_per_epoch)
     tx = build_optimizer(
         params,
-        lr=train_cfg.lr,
-        lr_backbone=train_cfg.lr_backbone,
+        lr=lr,
+        lr_backbone=lr_backbone,
         grad_accum_steps=train_cfg.grad_accum_steps,
         fused={"per-leaf": False, "grouped": "grouped", "flat": True}.get(
             getattr(train_cfg, "opt_layout", "auto"), "auto"
@@ -73,13 +96,21 @@ def _init_state(model, dummy_images, train_cfg: TrainConfig, seed_shift: int = 0
 
 
 def create_destr_state(
-    model: DESTR, train_cfg: TrainConfig, image_size: int | None = None
+    model: DESTR,
+    train_cfg: TrainConfig,
+    image_size: int | None = None,
+    steps_per_epoch: int = 0,
 ):
     size = image_size or train_cfg.image_size
     dummy = jnp.zeros((1, size, size, 3), jnp.float32)
-    return _init_state(model, dummy, train_cfg)
+    return _init_state(model, dummy, train_cfg, steps_per_epoch=steps_per_epoch)
 
 
-def create_ssd_state(model: SSD, train_cfg: TrainConfig, image_size: int = 300):
+def create_ssd_state(
+    model: SSD,
+    train_cfg: TrainConfig,
+    image_size: int = 300,
+    steps_per_epoch: int = 0,
+):
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-    return _init_state(model, dummy, train_cfg)
+    return _init_state(model, dummy, train_cfg, steps_per_epoch=steps_per_epoch)

@@ -76,8 +76,12 @@ def test_destr_overfits_single_batch():
     # the best of the last 20 steps rather than the single final value —
     # a marginal 150-step endpoint miss (0.280 vs a 0.272 bar) reproduced
     # across hosts while the loss was still monotonically descending.
+    # The median bar keeps rejecting a dip-once-then-diverge trajectory
+    # that the min alone would pass (ADVICE r3).
     best_tail = min(tail_losses)
+    median_tail = sorted(tail_losses)[len(tail_losses) // 2]
     assert best_tail < 0.5 * first_loss, (first_loss, tail_losses)
+    assert median_tail < 0.6 * first_loss, (first_loss, tail_losses)
 
     outputs, _ = eval_step(state, batch)
     metric = MeanAveragePrecision(num_cls=1, num_pred=cfg.top_k)

@@ -310,3 +310,41 @@ def test_rng_impl_dropout_stream(impl, tmp_path):
     # the restored key drives another step
     state2, m2 = step(restored, batch)
     assert np.isfinite(np.asarray(m2["loss"]))
+
+
+def test_lr_drop_schedule_spec():
+    """--lr_drop (TrainConfig.lr_drop, a shared extension — the reference
+    trainer has no schedule) turns both lr specs into step-count schedules
+    with the boundary at lr_drop * steps_per_epoch."""
+    from object_detection_destr_tpu.train.state import _lr_specs
+
+    cfg = TrainConfig(lr=1e-3, lr_backbone=1e-4, lr_drop=2, lr_drop_factor=0.1)
+    lr, lr_bb = _lr_specs(cfg, steps_per_epoch=10)
+    assert callable(lr) and callable(lr_bb)
+    assert float(lr(0)) == pytest.approx(1e-3)
+    assert float(lr(19)) == pytest.approx(1e-3)
+    assert float(lr(21)) == pytest.approx(1e-4)
+    assert float(lr_bb(21)) == pytest.approx(1e-5)
+
+    # off by default (reference behavior: constant lr)
+    lr, lr_bb = _lr_specs(TrainConfig(), steps_per_epoch=10)
+    assert not callable(lr) and not callable(lr_bb)
+
+    # frozen backbone stays a plain 0 (build_optimizer's set_to_zero branch)
+    cfg = TrainConfig(lr=1e-3, lr_backbone=0.0, lr_drop=1)
+    lr, lr_bb = _lr_specs(cfg, steps_per_epoch=4)
+    assert callable(lr) and lr_bb == 0.0
+
+
+def test_lr_drop_cli_flag():
+    from object_detection_destr_tpu.train.arg_parser import (
+        config_from_args,
+        get_parser,
+    )
+
+    args = get_parser("destr").parse_args(
+        ["--lr_drop", "40", "--lr_drop_factor", "0.2"]
+    )
+    config = config_from_args(args, "destr")
+    assert config.train.lr_drop == 40
+    assert config.train.lr_drop_factor == pytest.approx(0.2)
