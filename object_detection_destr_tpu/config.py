@@ -131,6 +131,16 @@ class TrainConfig:
     # shorter-side-672 + center-crop-640 geometry exactly
     # (src/dataset/transforms.py:170-181)
     letterbox: bool = False
+    # DESTR VALIDATION geometry alone (r4 default flip, REFCOMPAT "letterbox
+    # eval geometry"): the val loader letterboxes and the eval transform
+    # computes the reference's aspect-preserving Resize(672)+CenterCrop(640)
+    # window over the preserved content — eval numbers are geometry-comparable
+    # to the reference by default. The TRAIN path keeps the square-stretch
+    # default (reference training distorts aspect via RandomResizedCrop
+    # anyway, src/dataset/transforms.py:160-169); `letterbox=True` still
+    # switches the full data path including training. False restores the
+    # pre-r4 square-stretch eval.
+    letterbox_eval: bool = True
     # PRNG impl for the training-time dropout stream (train/state.py). "rbg"
     # lowers jax.random draws to the TPU-native RngBitGenerator — the default
     # threefry's 20-round xor chains are recomputed inside the step's hot
@@ -153,6 +163,11 @@ class DataConfig:
     augment_factor: int = 5
     num_train_samples: int = 64  # synthetic only
     num_valid_samples: int = 16  # synthetic only
+    # decode the whole dataset once and serve batches from device HBM
+    # (data/device_cache.py): removes the per-step host feed for sets that
+    # fit memory (~1.35 MB per 672px canvas -> a few thousand images per
+    # chip). The step's host->device traffic drops to one index vector.
+    device_cache: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

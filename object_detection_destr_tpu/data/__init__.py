@@ -24,6 +24,7 @@ from .datasets import (
     WiderFaceDetection,
     build_dataset,
 )
+from .device_cache import DeviceCachedLoader
 from .loader import DetectionLoader
 from .transforms import (
     destr_eval_transform,
@@ -40,6 +41,7 @@ __all__ = [
     "CocoDetection",
     "build_dataset",
     "DetectionLoader",
+    "DeviceCachedLoader",
     "destr_train_transform",
     "destr_eval_transform",
     "ssd_train_transform",

@@ -40,10 +40,13 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", type=str, default="detections.json")
     p.add_argument("--score_thresh", type=float, default=0.5)
     p.add_argument("--image_size", type=int, default=None)
-    p.add_argument("--letterbox", action="store_true",
-                   help="aspect-preserving inference (DESTR): pad instead of "
-                        "stretch, feed the pixel valid-mask to the model, and "
-                        "report boxes in original-image coordinates")
+    p.add_argument("--letterbox", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="aspect-preserving inference (DESTR, default since "
+                        "r4): pad instead of stretch, feed the pixel "
+                        "valid-mask to the model, and report boxes in "
+                        "original-image coordinates; --no-letterbox restores "
+                        "the square-stretch serving path")
     # model shape flags must match the checkpoint
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--ffn_dim", type=int, default=2048)

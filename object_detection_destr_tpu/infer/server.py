@@ -10,8 +10,10 @@ Protocol (stdlib-only, no framework dependency):
         "labels": [...]}
     GET /healthz    -> {"ok": true}
 
-The model is compiled once at startup for a fixed input size; requests are
-letterboxed to that canvas on the host and predicted on device. This is the
+The model is compiled once at startup for a fixed input size; DESTR requests
+are letterboxed (aspect-preserving + pixel valid-mask, boxes mapped back to
+original coordinates) onto that canvas, SSD requests stretched like its
+reference eval (transforms.py:141-152). This is the
 real serving path the reference never had (its NMS module is an orphan
 ``__main__`` — SURVEY.md §3.5).
 """
@@ -42,15 +44,38 @@ __all__ = ["DetectionService", "serve", "get_parser"]
 
 
 class DetectionService:
-    """Compiled predict function + host preprocessing, thread-safe."""
+    """Compiled predict function + host preprocessing, thread-safe.
+
+    DESTR serving is aspect-preserving by default (r4, REFCOMPAT "letterbox
+    eval geometry"): the image letterboxes onto the canvas, the model runs
+    with the pixel valid-mask, and boxes map back to original-image
+    coordinates. ``letterbox=False`` restores the square stretch (always the
+    case for SSD — its reference stretches, transforms.py:141-152).
+    """
 
     def __init__(self, model_kind, model, variables, image_size, score_thresh,
-                 anchors=None):
+                 anchors=None, letterbox=True):
         self.model_kind = model_kind
         self.image_size = image_size
         self.score_thresh = score_thresh
+        self.letterbox = letterbox and model_kind == "destr"
         self._lock = threading.Lock()
 
+        if self.letterbox:
+
+            @jax.jit
+            def predict(images, pixel_valid):
+                outputs, _ = model.apply(
+                    variables, images, valid_mask=pixel_valid, train=False
+                )
+                return destr_predict(outputs, score_thresh=score_thresh)
+
+            self._predict = predict
+            self._predict(
+                jnp.zeros((1, image_size, image_size, 3), jnp.float32),
+                jnp.ones((1, image_size, image_size), bool),
+            )
+            return
         if model_kind == "destr":
 
             @jax.jit
@@ -69,6 +94,29 @@ class DetectionService:
         self._predict(jnp.zeros((1, image_size, image_size, 3), jnp.float32))
 
     def predict_image(self, image_uint8: np.ndarray) -> dict:
+        if self.letterbox:
+            from ..data.loader import _letterbox_canvas
+            from ..data.transforms import letterbox_infer_transform
+
+            canvas, fh, fw = _letterbox_canvas(image_uint8, self.image_size)
+            prep = letterbox_infer_transform(
+                jnp.asarray(canvas[None]),
+                jnp.asarray([[fh, fw]], jnp.float32),
+                out_size=self.image_size,
+            )
+            with self._lock:
+                dets = jax.device_get(
+                    self._predict(prep["images"], prep["pixel_valid"])
+                )
+            keep = dets["valid"][0]
+            # canvas-normalized xyxy -> original-image-normalized
+            scale = np.asarray([fw, fh, fw, fh], np.float32)
+            boxes = np.clip(np.asarray(dets["boxes"][0][keep]) / scale, 0.0, 1.0)
+            return {
+                "boxes": boxes.tolist(),
+                "scores": np.asarray(dets["scores"][0][keep]).tolist(),
+                "labels": np.asarray(dets["labels"][0][keep]).tolist(),
+            }
         canvas = _resize_canvas(image_uint8, self.image_size)
         images = normalize_imagenet(jnp.asarray(canvas[None]))
         with self._lock:  # jitted fn is thread-safe, but keep request order
@@ -132,6 +180,10 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--port", type=int, default=8900)
     p.add_argument("--score_thresh", type=float, default=0.5)
     p.add_argument("--image_size", type=int, default=None)
+    p.add_argument("--letterbox", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="aspect-preserving DESTR serving (default since r4); "
+                        "--no-letterbox restores the square stretch")
     p.add_argument("--hidden_dim", type=int, default=256)
     p.add_argument("--ffn_dim", type=int, default=2048)
     p.add_argument("--num_heads", type=int, default=8)
@@ -161,7 +213,10 @@ def build_service(args) -> DetectionService:
         cfg = SSDConfig(num_cls=args.num_cls if args.num_cls != 2 else 20)
         model = build_ssd(cfg)
         anchors = flat_anchors(cfg)
-    return DetectionService(args.model, model, variables, size, args.score_thresh, anchors)
+    return DetectionService(
+        args.model, model, variables, size, args.score_thresh, anchors,
+        letterbox=getattr(args, "letterbox", True),
+    )
 
 
 def serve(argv=None):

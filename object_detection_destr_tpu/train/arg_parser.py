@@ -58,6 +58,11 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--num_valid_samples", type=int, default=16)
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--device_cache", action="store_true",
+                   help="decode the dataset once and serve batches from "
+                        "device HBM (uint8 canvases, ~1.35 MB per 672px "
+                        "image); removes the per-step host feed for sets "
+                        "that fit memory")
 
 
 def get_parser(model_name: str = "destr") -> argparse.ArgumentParser:
@@ -80,9 +85,17 @@ def get_parser(model_name: str = "destr") -> argparse.ArgumentParser:
         p.add_argument("--dilation", action="store_true")
         p.add_argument("--image_size", type=int, default=640)
         p.add_argument("--letterbox", action="store_true",
-                       help="aspect-preserving data path: pad instead of "
-                            "stretch, pixel valid-mask into the model, "
-                            "reference-exact eval geometry")
+                       help="aspect-preserving data path for TRAINING too: "
+                            "pad instead of stretch, pixel valid-mask into "
+                            "the model (eval is aspect-preserving by default "
+                            "already, see --letterbox_eval)")
+        p.add_argument("--letterbox_eval", action=argparse.BooleanOptionalAction,
+                       default=True,
+                       help="DESTR validation uses the reference's "
+                            "aspect-preserving Resize(672)+CenterCrop(640) "
+                            "geometry (src/dataset/transforms.py:170-181). "
+                            "--no-letterbox_eval restores the square-stretch "
+                            "eval the pre-r4 benches were recorded under")
         p.add_argument("--use_flash_attention", type=str, default="auto",
                        choices=["auto", "on", "off"],
                        help="fused Pallas attention (encoder MHSA + decoder "
@@ -132,6 +145,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         rng_impl=getattr(args, "rng_impl", "rbg"),
         image_size=getattr(args, "image_size", 640),
         letterbox=getattr(args, "letterbox", False),
+        letterbox_eval=getattr(args, "letterbox_eval", True),
     )
     destr = DestrConfig(
         hidden_dim=getattr(args, "hidden_dim", 256),
@@ -164,5 +178,6 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         augment_factor=args.augment_factor,
         num_train_samples=args.num_train_samples,
         num_valid_samples=args.num_valid_samples,
+        device_cache=getattr(args, "device_cache", False),
     )
     return Config(destr=destr, ssd=ssd, train=train, data=data)

@@ -61,11 +61,20 @@ __all__ = ["train_destr", "train_ssd"]
 def _make_loaders(config: Config, canvas: int, for_train_model: str):
     data = config.data
     num_classes = {"destr": 1, "ssd": config.ssd.num_cls}[for_train_model]
+    # the letterbox paths are DESTR-only: the SSD reference stretches at eval
+    # too (transforms.py:141-152) and the SSD model has no pixel-mask input
+    is_destr = for_train_model == "destr"
+    train_letterbox = config.train.letterbox and is_destr
+    # r4 default: DESTR eval geometry is the reference's aspect-preserving
+    # Resize(672)+CenterCrop(640) (REFCOMPAT "letterbox eval geometry")
+    eval_letterbox = (
+        config.train.letterbox or config.train.letterbox_eval
+    ) and is_destr
     # under letterbox the synthetic set emits mixed aspect ratios so the
     # padding path is actually exercised (real datasets are non-square)
     aspects = (
         (1.0, 0.7, 1.4)
-        if config.train.letterbox and data.dataset == "synthetic"
+        if (train_letterbox or eval_letterbox) and data.dataset == "synthetic"
         else (1.0,)
     )
     train_ds = build_dataset(
@@ -94,9 +103,6 @@ def _make_loaders(config: Config, canvas: int, for_train_model: str):
         seed=config.train.seed,
         aspect_ratios=aspects,
     )
-    # the letterbox path is DESTR-only: the SSD reference stretches at eval
-    # too (transforms.py:141-152) and the SSD model has no pixel-mask input
-    letterbox = config.train.letterbox and for_train_model == "destr"
     train_loader = DetectionLoader(
         train_ds,
         batch_size=config.train.batch_size,
@@ -105,7 +111,7 @@ def _make_loaders(config: Config, canvas: int, for_train_model: str):
         augment_factor=data.augment_factor,
         shuffle=True,
         seed=config.train.seed,
-        letterbox=letterbox,
+        letterbox=train_letterbox,
     )
     valid_loader = DetectionLoader(
         valid_ds,
@@ -115,7 +121,7 @@ def _make_loaders(config: Config, canvas: int, for_train_model: str):
         augment_factor=1,
         shuffle=True,  # reference shuffles the val loader too (train.py:284-290)
         seed=config.train.seed + 1,
-        letterbox=letterbox,
+        letterbox=eval_letterbox,
     )
     return train_loader, valid_loader
 
@@ -152,6 +158,11 @@ def train_destr(config: Config, mesh=None) -> dict:
     )
     canvas = int(cfg_t.image_size * 672 / 640)  # reference eval geometry
     train_loader, valid_loader = _make_loaders(config, canvas, "destr")
+    if config.data.device_cache:
+        from ..data.device_cache import DeviceCachedLoader
+
+        train_loader = DeviceCachedLoader(train_loader, mesh)
+        valid_loader = DeviceCachedLoader(valid_loader, mesh)
 
     model = build_destr(destr_cfg)
     state, tx = create_destr_state(
@@ -294,6 +305,11 @@ def train_ssd(config: Config, mesh=None) -> dict:
     )
     canvas = int(config.ssd.image_size * 1.28)  # headroom for the random patch
     train_loader, valid_loader = _make_loaders(config, canvas, "ssd")
+    if config.data.device_cache:
+        from ..data.device_cache import DeviceCachedLoader
+
+        train_loader = DeviceCachedLoader(train_loader, mesh)
+        valid_loader = DeviceCachedLoader(valid_loader, mesh)
 
     model = build_ssd(ssd_cfg)
     state, tx = create_ssd_state(

@@ -272,3 +272,46 @@ def test_voc_difficult_flag(tmp_path):
     ds_eval = VocDetection(str(tmp_path), "train", keep_difficult=False)
     _, boxes, labels = ds_eval[0]
     assert labels.tolist() == [4]
+
+
+def test_device_cache_matches_host_loader():
+    """DeviceCachedLoader serves bit-identical batches in the identical
+    order as the host DetectionLoader it wraps (same (seed, epoch) shuffle
+    stream), across epochs and through a state_dict resume."""
+    import jax.numpy as jnp  # noqa: F401  (device arrays come back)
+
+    from object_detection_destr_tpu.data import (
+        DetectionLoader,
+        DeviceCachedLoader,
+        SyntheticDetection,
+    )
+
+    mk = lambda: DetectionLoader(
+        SyntheticDetection(num_samples=10, image_size=48, max_boxes=3),
+        batch_size=4, canvas_size=56, max_targets=5, augment_factor=2,
+        shuffle=True, seed=3, prefetch=0, num_workers=0, letterbox=True,
+    )
+    host = mk()
+    cached = DeviceCachedLoader(mk(), build_chunk=3)
+    assert len(host) == len(cached)
+
+    for _ in range(2):  # two epochs: the shuffle stream advances identically
+        # exhaust each iterator fully (zip would stop one next() short of
+        # StopIteration on the second loader, skipping its epoch advance)
+        host_batches, cached_batches = list(host), list(cached)
+        assert len(host_batches) == len(cached_batches)
+        for hb, cb in zip(host_batches, cached_batches):
+            assert set(hb) == set(cb)
+            for k in hb:
+                np.testing.assert_array_equal(hb[k], np.asarray(cb[k]))
+
+    # resume: restart mid-epoch from a saved state on a fresh cache
+    state = cached.state_dict()
+    ref_batches = list(host)
+    resumed = DeviceCachedLoader(mk(), build_chunk=4)
+    resumed.load_state_dict(state)
+    res_batches = list(resumed)
+    assert len(res_batches) == len(ref_batches)
+    for hb, cb in zip(ref_batches, res_batches):
+        for k in hb:
+            np.testing.assert_array_equal(hb[k], np.asarray(cb[k]))

@@ -259,3 +259,38 @@ def test_predict_cli_letterbox(tmp_path):
     assert len(records) == 1
     for box in records[0]["boxes"]:
         assert all(0.0 <= v <= 1.0 for v in box)
+
+
+def test_letterbox_eval_is_default_geometry():
+    """r4 default flip (REFCOMPAT "letterbox eval geometry"): with a default
+    TrainConfig the DESTR val loader letterboxes (reference aspect-preserving
+    eval) while the train loader keeps the square stretch; --no-letterbox_eval
+    restores the pre-r4 behavior; SSD is unaffected."""
+    import dataclasses
+
+    from object_detection_destr_tpu.config import Config, DataConfig, TrainConfig
+    from object_detection_destr_tpu.train.arg_parser import (
+        config_from_args,
+        get_parser,
+    )
+    from object_detection_destr_tpu.train.driver import _make_loaders
+
+    config = Config(data=DataConfig(num_train_samples=4, num_valid_samples=2))
+    assert config.train.letterbox_eval and not config.train.letterbox
+
+    train_loader, valid_loader = _make_loaders(config, canvas=64, for_train_model="destr")
+    assert not train_loader.letterbox and valid_loader.letterbox
+
+    off = dataclasses.replace(config, train=TrainConfig(letterbox_eval=False))
+    train_loader, valid_loader = _make_loaders(off, canvas=64, for_train_model="destr")
+    assert not train_loader.letterbox and not valid_loader.letterbox
+
+    # SSD: its reference stretches at eval too (transforms.py:141-152)
+    _, ssd_valid = _make_loaders(config, canvas=64, for_train_model="ssd")
+    assert not ssd_valid.letterbox
+
+    # CLI wiring: default on, --no-letterbox_eval off
+    args = get_parser("destr").parse_args([])
+    assert config_from_args(args, "destr").train.letterbox_eval
+    args = get_parser("destr").parse_args(["--no-letterbox_eval"])
+    assert not config_from_args(args, "destr").train.letterbox_eval
