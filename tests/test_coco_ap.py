@@ -179,3 +179,47 @@ def test_coco_ap_perfect_and_single_iou_extremes():
         1, 100, CocoAveragePrecision.IOU_THRESHOLDS,
     )
     assert golden == pytest.approx(1.0)
+
+
+def test_coco_ap_hand_derived_goldens():
+    """Committed analytic goldens (tests/fixtures/coco_ap_golden.json):
+    expected APs derived by hand from the published COCOeval semantics —
+    independent of BOTH in-repo evaluators (VERDICT r3 #8; pycocotools is
+    not obtainable here, see the fixture's _comment). The brute-force
+    evaluator must agree too, triangulating all three."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "fixtures", "coco_ap_golden.json")
+    with open(path) as f:
+        doc = json.load(f)
+    assert list(CocoAveragePrecision.IOU_THRESHOLDS) == doc["iou_thresholds"]
+
+    for case in doc["cases"]:
+        batches = [
+            (
+                {k: np.asarray(v, np.float32) for k, v in b["outputs"].items()},
+                {
+                    "boxes": np.asarray(b["targets"]["boxes"], np.float32),
+                    "labels": np.asarray(b["targets"]["labels"], np.int32),
+                    "valid": np.asarray(b["targets"]["valid"], bool),
+                },
+            )
+            for b in case["batches"]
+        ]
+        metric = CocoAveragePrecision(
+            num_cls=case["num_cls"], max_dets_per_image=case["max_dets"]
+        )
+        for outputs, targets in batches:
+            metric.update(
+                {k: jnp.asarray(v) for k, v in outputs.items()},
+                {k: jnp.asarray(v) for k, v in targets.items()},
+            )
+        ours = metric.compute()
+        assert ours == pytest.approx(case["expected_ap"], abs=1e-6), case["name"]
+
+        golden = brute_force_coco_ap(
+            batches, case["num_cls"], case["max_dets"],
+            CocoAveragePrecision.IOU_THRESHOLDS,
+        )
+        assert golden == pytest.approx(case["expected_ap"], abs=1e-6), case["name"]
