@@ -53,6 +53,37 @@ def _load_image(path: str) -> np.ndarray:
         return np.asarray(im.convert("RGB"), dtype=np.uint8)
 
 
+def _jpeg_size(data: bytes) -> tuple[int, int]:
+    """(height, width) from the first SOF marker — annotation normalization
+    without decoding a single pixel (the fused native decode+resize path,
+    runtime/cc/jpeg_decode.cc, never materializes the full image on the
+    Python side)."""
+    i, n = 2, len(data)
+    while i + 9 < n:
+        if data[i] != 0xFF:
+            i += 1
+            continue
+        marker = data[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:  # standalone
+            i += 2
+            continue
+        length = (data[i + 2] << 8) | data[i + 3]
+        # SOF0..SOF15 minus DHT(C4)/JPG(C8)/DAC(CC)
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h = (data[i + 5] << 8) | data[i + 6]
+            w = (data[i + 7] << 8) | data[i + 8]
+            return h, w
+        i += 2 + length
+    raise ValueError("no SOF marker found in JPEG stream")
+
+
+def _read_jpeg_bytes(path: str) -> bytes:
+    if not path.lower().endswith((".jpg", ".jpeg")):
+        raise AttributeError("raw_item supports JPEG files only")
+    with open(path, "rb") as f:
+        return f.read()
+
+
 class SyntheticDetection:
     """Deterministic random scenes: bright rectangles on dark noise.
 
@@ -139,21 +170,33 @@ class WiderFaceDetection:
     def __len__(self) -> int:
         return len(self.samples)
 
+    def _normalize(self, boxes_px: np.ndarray, w: float, h: float) -> np.ndarray:
+        if not len(boxes_px):
+            return np.zeros((0, 4), np.float32)
+        # sort by area descending, cap (dataset.py:39-42, 54)
+        areas = (boxes_px[:, 2] - boxes_px[:, 0]) * (boxes_px[:, 3] - boxes_px[:, 1])
+        order = np.argsort(-areas)
+        boxes_px = boxes_px[order][: self.max_items]
+        boxes = boxes_px / np.asarray([w, h, w, h], np.float32)
+        return np.clip(boxes, 0.0, 1.0)
+
     def __getitem__(self, idx: int):
         path, boxes_px = self.samples[idx]
         image = _load_image(path)
         h, w = image.shape[:2]
-        if len(boxes_px):
-            # sort by area descending, cap (dataset.py:39-42, 54)
-            areas = (boxes_px[:, 2] - boxes_px[:, 0]) * (boxes_px[:, 3] - boxes_px[:, 1])
-            order = np.argsort(-areas)
-            boxes_px = boxes_px[order][: self.max_items]
-            boxes = boxes_px / np.asarray([w, h, w, h], np.float32)
-            boxes = np.clip(boxes, 0.0, 1.0)
-        else:
-            boxes = np.zeros((0, 4), np.float32)
+        boxes = self._normalize(boxes_px, w, h)
         labels = np.zeros((len(boxes),), np.int32)  # single class (dataset.py:62)
         return image, boxes, labels
+
+    def raw_item(self, idx: int):
+        """(jpeg_bytes, boxes, labels) for the loader's fused native
+        decode+resize path; image dims come from the JPEG SOF header, so no
+        Python-side decode happens at all."""
+        path, boxes_px = self.samples[idx]
+        data = _read_jpeg_bytes(path)
+        h, w = _jpeg_size(data)
+        boxes = self._normalize(boxes_px, w, h)
+        return data, boxes, np.zeros((len(boxes),), np.int32)
 
 
 class VocDetection:
@@ -189,9 +232,7 @@ class VocDetection:
     def __len__(self) -> int:
         return len(self.images)
 
-    def __getitem__(self, idx: int):
-        image = _load_image(self.images[idx])
-        h, w = image.shape[:2]
+    def _annotations(self, idx: int, w: float, h: float):
         tree = ET.parse(self.annos[idx])
         boxes, labels = [], []
         for obj in tree.findall("object"):
@@ -208,10 +249,27 @@ class VocDetection:
             boxes.append([x1, y1, x2, y2])
             labels.append(self.class_to_idx[name])
         return (
-            image,
             np.asarray(boxes, np.float32).reshape(-1, 4),
             np.asarray(labels, np.int32),
         )
+
+    def __getitem__(self, idx: int):
+        image = _load_image(self.images[idx])
+        h, w = image.shape[:2]
+        boxes, labels = self._annotations(idx, w, h)
+        return image, boxes, labels
+
+    def raw_item(self, idx: int):
+        """(jpeg_bytes, boxes, labels) for the fused native decode path;
+        normalization uses the annotation XML's declared <size> (the VOC
+        ground truth for the image dims), so no Python-side decode runs."""
+        data = _read_jpeg_bytes(self.images[idx])
+        tree = ET.parse(self.annos[idx])
+        size = tree.find("size")
+        w = float(size.findtext("width"))
+        h = float(size.findtext("height"))
+        boxes, labels = self._annotations(idx, w, h)
+        return data, boxes, labels
 
 
 class CocoDetection:
@@ -270,11 +328,8 @@ class CocoDetection:
         uses the dims recorded in the instances JSON, so no decode is needed
         on the Python side."""
         path, _, _, _ = self.samples[idx]
-        if not path.lower().endswith((".jpg", ".jpeg")):
-            raise AttributeError("raw_item supports JPEG files only")
         boxes, labels = self._annotations(idx)
-        with open(path, "rb") as f:
-            return f.read(), boxes, labels
+        return _read_jpeg_bytes(path), boxes, labels
 
 
 def build_dataset(

@@ -94,6 +94,7 @@ class DetectionLoader:
         prefetch: int = 2,
         num_workers: int = 8,
         letterbox: bool = False,
+        mesh=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -109,6 +110,10 @@ class DetectionLoader:
         self._pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
         self.epoch = 0
         self._start_step = 0
+        # with a mesh, the prefetch thread device_puts each batch (leading
+        # axis sharded on 'data') so the host->device transfer overlaps the
+        # previous step's compute instead of serializing before dispatch
+        self.mesh = mesh
 
     @property
     def num_samples(self) -> int:
@@ -218,11 +223,18 @@ class DetectionLoader:
         start = self._start_step
         self._start_step = 0
 
+        if self.mesh is not None:
+            from ..parallel.mesh import shard_batch
+
+            to_device = lambda b: shard_batch(b, self.mesh)
+        else:
+            to_device = lambda b: b
+
         def batches():
             for step in range(start, n_batches):
                 self._step = step + 1
                 lo = step * self.batch_size
-                yield self._make_batch(order[lo : lo + self.batch_size])
+                yield to_device(self._make_batch(order[lo : lo + self.batch_size]))
             self.epoch += 1
             self._step = 0
 

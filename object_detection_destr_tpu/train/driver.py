@@ -58,7 +58,7 @@ from .steps import (
 __all__ = ["train_destr", "train_ssd"]
 
 
-def _make_loaders(config: Config, canvas: int, for_train_model: str):
+def _make_loaders(config: Config, canvas: int, for_train_model: str, mesh=None):
     data = config.data
     num_classes = {"destr": 1, "ssd": config.ssd.num_cls}[for_train_model]
     # the letterbox paths are DESTR-only: the SSD reference stretches at eval
@@ -112,6 +112,7 @@ def _make_loaders(config: Config, canvas: int, for_train_model: str):
         shuffle=True,
         seed=config.train.seed,
         letterbox=train_letterbox,
+        mesh=mesh,
     )
     valid_loader = DetectionLoader(
         valid_ds,
@@ -122,6 +123,7 @@ def _make_loaders(config: Config, canvas: int, for_train_model: str):
         shuffle=True,  # reference shuffles the val loader too (train.py:284-290)
         seed=config.train.seed + 1,
         letterbox=eval_letterbox,
+        mesh=mesh,
     )
     return train_loader, valid_loader
 
@@ -157,7 +159,7 @@ def train_destr(config: Config, mesh=None) -> dict:
         if step_mesh is not None else config.destr
     )
     canvas = int(cfg_t.image_size * 672 / 640)  # reference eval geometry
-    train_loader, valid_loader = _make_loaders(config, canvas, "destr")
+    train_loader, valid_loader = _make_loaders(config, canvas, "destr", mesh=mesh)
     if config.data.device_cache:
         from ..data.device_cache import DeviceCachedLoader
 
@@ -304,7 +306,7 @@ def train_ssd(config: Config, mesh=None) -> dict:
         if step_mesh is not None else config.ssd
     )
     canvas = int(config.ssd.image_size * 1.28)  # headroom for the random patch
-    train_loader, valid_loader = _make_loaders(config, canvas, "ssd")
+    train_loader, valid_loader = _make_loaders(config, canvas, "ssd", mesh=mesh)
     if config.data.device_cache:
         from ..data.device_cache import DeviceCachedLoader
 

@@ -315,3 +315,69 @@ def test_device_cache_matches_host_loader():
     for hb, cb in zip(ref_batches, res_batches):
         for k in hb:
             np.testing.assert_array_equal(hb[k], np.asarray(cb[k]))
+
+
+def test_raw_item_paths_widerface_voc(tmp_path):
+    """raw_item on WIDER FACE and VOC (VERDICT r3 #4): JPEG bytes returned
+    undecoded, dims from the SOF header / annotation XML, boxes identical to
+    the decoded __getitem__ path."""
+    from object_detection_destr_tpu.data.datasets import _jpeg_size
+
+    # --- WIDER ---------------------------------------------------------
+    root = tmp_path / "wider"
+    (root / "wider_face_split").mkdir(parents=True)
+    img_dir = root / "WIDER_train" / "images" / "0--Parade"
+    img_dir.mkdir(parents=True)
+    from PIL import Image
+
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (40, 60, 3), dtype=np.uint8)).save(
+        img_dir / "a.jpg", quality=95
+    )
+    (root / "wider_face_split" / "wider_face_train_bbx_gt.txt").write_text(
+        "0--Parade/a.jpg\n2\n6 8 12 10 0 0 0 0 0 0\n30 20 18 16 0 0 0 0 0 0\n"
+    )
+    ds = WiderFaceDetection(str(root), "train")
+    data, boxes, labels = ds.raw_item(0)
+    assert isinstance(data, bytes) and data[:2] == b"\xff\xd8"
+    assert _jpeg_size(data) == (40, 60)
+    _, boxes_dec, labels_dec = ds[0]
+    np.testing.assert_allclose(boxes, boxes_dec, atol=1e-6)
+    np.testing.assert_array_equal(labels, labels_dec)
+
+    # --- VOC -----------------------------------------------------------
+    base = tmp_path / "voc" / "VOCdevkit" / "VOC2007"
+    for sub in ["ImageSets/Main", "Annotations", "JPEGImages"]:
+        (base / sub).mkdir(parents=True)
+    (base / "ImageSets" / "Main" / "train.txt").write_text("000001\n")
+    Image.fromarray(rng.integers(0, 255, (50, 100, 3), dtype=np.uint8)).save(
+        base / "JPEGImages" / "000001.jpg"
+    )
+    root_el = ET.Element("annotation")
+    size = ET.SubElement(root_el, "size")
+    ET.SubElement(size, "width").text = "100"
+    ET.SubElement(size, "height").text = "50"
+    obj = ET.SubElement(root_el, "object")
+    ET.SubElement(obj, "name").text = "dog"
+    bb = ET.SubElement(obj, "bndbox")
+    for tag, v in [("xmin", 10), ("ymin", 5), ("xmax", 60), ("ymax", 45)]:
+        ET.SubElement(bb, tag).text = str(v)
+    ET.ElementTree(root_el).write(base / "Annotations" / "000001.xml")
+    vds = VocDetection(str(tmp_path / "voc"), "train")
+    data, boxes, labels = vds.raw_item(0)
+    assert isinstance(data, bytes)
+    _, boxes_dec, labels_dec = vds[0]
+    np.testing.assert_allclose(boxes, boxes_dec, atol=1e-6)
+    np.testing.assert_array_equal(labels, labels_dec)
+
+    # the loader's fused native path consumes these end to end
+    from object_detection_destr_tpu.runtime import native
+
+    if native.is_available():
+        loader = DetectionLoader(
+            ds, batch_size=1, canvas_size=32, max_targets=4,
+            shuffle=False, prefetch=0, num_workers=0,
+        )
+        batch = next(iter(loader))
+        assert batch["images"].shape == (1, 32, 32, 3)
+        assert batch["valid"][0].sum() == 2
