@@ -12,9 +12,13 @@ wall numbers overstated throughput ~9x. Chained-wall windows are still run
 (and printed to stderr for comparison) but the reported value is
 device-time. Full notes: BASELINE.md r2 section.
 
-Env overrides: BENCH_BATCH, BENCH_IMAGE, BENCH_STEPS, BENCH_MODE=train|infer,
-BENCH_MODEL=destr|ssd, BENCH_BACKBONE=resnet50|resnet101, BENCH_DILATION=1,
-BENCH_EXTRA_BATCH (default 32; 0 disables the companion measurement).
+Env overrides: BENCH_BATCH, BENCH_IMAGE, BENCH_STEPS,
+BENCH_MODE=train|infer|eval (eval = DESTR fwd + matching/losses, the val
+sweep's step), BENCH_MODEL=destr|ssd, BENCH_BACKBONE=resnet50|resnet101,
+BENCH_DILATION=1, BENCH_LETTERBOX=1 (DESTR: mixed-aspect pixel-valid masks
+through the model — the r4 aspect-preserving eval default; REFCOMPAT
+"letterbox eval geometry"), BENCH_EXTRA_BATCH (default 32; 0 disables the
+companion measurement).
 
 The default config additionally measures a b32 window (device time as well)
 and appends it to the metric text — recorded every round per VERDICT r1 #10.
@@ -46,7 +50,8 @@ BASELINE_IMAGES_PER_SEC: float | None = 79.8
 BATCH = int(os.environ.get("BENCH_BATCH", 8))
 IMAGE = int(os.environ.get("BENCH_IMAGE", 640))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
-MODE = os.environ.get("BENCH_MODE", "train")  # train | infer
+MODE = os.environ.get("BENCH_MODE", "train")  # train | infer | eval
+LETTERBOX = os.environ.get("BENCH_LETTERBOX", "0") == "1"
 MODEL = os.environ.get("BENCH_MODEL", "destr")  # destr | ssd
 BACKBONE = os.environ.get("BENCH_BACKBONE", "resnet50")
 DILATION = os.environ.get("BENCH_DILATION", "0") == "1"
@@ -78,7 +83,7 @@ def _fake_batch(rng, image: int, cxcyhw: bool, batch_size: int | None = None) ->
             ],
             -1,
         )
-    return {
+    batch = {
         "images": jnp.asarray(
             rng.normal(size=(b, image, image, 3)).astype(np.float32)
         ),
@@ -86,6 +91,18 @@ def _fake_batch(rng, image: int, cxcyhw: bool, batch_size: int | None = None) ->
         "labels": jnp.zeros((b, t), jnp.int32),
         "valid": jnp.ones((b, t), bool),
     }
+    if LETTERBOX and not cxcyhw:  # DESTR only: SSD has no pixel-mask input
+        # mixed-aspect letterbox masks: even images are content-padded on W
+        # (portrait sources), odd on H — the eval default's real mask shape
+        mask = np.zeros((b, image, image), bool)
+        for i in range(b):
+            frac = 0.75
+            if i % 2 == 0:
+                mask[i, :, : int(image * frac)] = True
+            else:
+                mask[i, : int(image * frac), :] = True
+        batch["pixel_valid"] = jnp.asarray(mask)
+    return batch
 
 
 def _time_windows(run_once) -> float:
@@ -174,15 +191,21 @@ def main() -> None:
         step = make_destr_train_step(model, tx, train_cfg)
         batch = _fake_batch(rng, image, cxcyhw=False)
         name = f"DESTR-{BACKBONE.replace('resnet', 'R')}{'-dil' if DILATION else ''}"
+        if LETTERBOX:
+            name += "-letterbox"
 
     if MODE == "infer":
+        pixel_valid = batch.get("pixel_valid")
 
         @jax.jit
         def fwd_chained(params, stats, images):
             """One forward; output feeds back into the image tensor so
             chained calls serialize and inputs stay bitwise-fresh."""
+            kwargs = {"train": False}
+            if pixel_valid is not None:  # letterbox eval-path mask (DESTR)
+                kwargs["valid_mask"] = pixel_valid
             out = model.apply(
-                {"params": params, "batch_stats": stats}, images, train=False
+                {"params": params, "batch_stats": stats}, images, **kwargs
             )
             leaves = jax.tree.leaves(out)
             dep = sum(l.mean().astype(images.dtype) for l in leaves)
@@ -197,6 +220,28 @@ def main() -> None:
             for _ in range(STEPS):
                 x = fwd_chained(state.params, state.batch_stats, x)
             jax.block_until_ready(x)
+
+        dt = _time_windows(window)
+        dt = _device_time_or(dt, window, BATCH)
+    elif MODE == "eval":
+        # the validation sweep's step: forward + on-device matching/losses
+        # (steps.py::make_destr_eval_step / make_ssd_eval_step)
+        if MODEL == "ssd":
+            from object_detection_destr_tpu.train.steps import make_ssd_eval_step
+
+            eval_step = make_ssd_eval_step(model, train_cfg, ssd_cfg)
+        else:
+            from object_detection_destr_tpu.train.steps import make_destr_eval_step
+
+            eval_step = make_destr_eval_step(model, train_cfg)
+        out = eval_step(state, batch)
+        jax.block_until_ready(out)
+
+        def window():
+            nonlocal out
+            for _ in range(STEPS):
+                out = eval_step(state, batch)
+            jax.block_until_ready(out)
 
         dt = _time_windows(window)
         dt = _device_time_or(dt, window, BATCH)
@@ -216,7 +261,7 @@ def main() -> None:
     images_per_sec = BATCH * STEPS / dt
     default_config = (
         MODE == "train" and MODEL == "destr" and BACKBONE == "resnet50"
-        and not DILATION and (BATCH, IMAGE) == (8, 640)
+        and not DILATION and not LETTERBOX and (BATCH, IMAGE) == (8, 640)
     )
     vs = (
         images_per_sec / BASELINE_IMAGES_PER_SEC

@@ -56,6 +56,12 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--data_root", type=str, default="dataset")
     p.add_argument("--num_train_samples", type=int, default=64)
     p.add_argument("--num_valid_samples", type=int, default=16)
+    p.add_argument("--synthetic_size", type=int, default=256,
+                   help="generation resolution of the synthetic dataset "
+                        "(shorter side, px). The loader still resizes to "
+                        "the canvas; raise to ~the canvas size so "
+                        "production-scale runs train on full-resolution "
+                        "content instead of upscaled 256px scenes")
     p.add_argument("--compute_dtype", type=str, default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--device_cache", action="store_true",
@@ -173,7 +179,11 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
     data = DataConfig(
         dataset=args.dataset,
         root=args.data_root,
-        image_size=256 if args.dataset == "synthetic" else 640,
+        image_size=(
+            getattr(args, "synthetic_size", 256)
+            if args.dataset == "synthetic"
+            else 640
+        ),
         max_targets=300,
         augment_factor=args.augment_factor,
         num_train_samples=args.num_train_samples,
