@@ -101,6 +101,14 @@ class TrainConfig:
     set_cost_class: float = 0.5
     set_cost_bbox: float = 0.0
     set_cost_ciou: float = 0.5
+    # DESTR focal-loss normalizer: "queries" = reference-faithful (the focal
+    # sum divides by the prediction-row count, criterion.py:40-49), "boxes" =
+    # DETR-family normalization by the per-image GT count. At top_k=300 the
+    # reference normalization dilutes the positive-class gradient ~67x and
+    # the model never becomes argmax-confident on objects (r4 production run,
+    # BASELINE.md); "boxes" is the documented shared extension that fixes it
+    # (REFCOMPAT "class-loss normalization").
+    class_norm: str = "queries"
     coef_class_loss: float = 0.5  # SSD class/local blend
     grad_accum_steps: int = 1  # optax.MultiSteps; 1 = off
     # AdamW update layout: "auto" | "per-leaf" | "grouped" | "flat"

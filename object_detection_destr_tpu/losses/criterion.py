@@ -36,6 +36,7 @@ def set_criterion(
     focal_gamma: float = 2.0,
     background_class: int | None = None,
     ciou_mode: str = "elementwise",
+    class_norm: str = "queries",
     rows: jnp.ndarray | None = None,
     axis_name: str | None = None,
 ) -> dict[str, jnp.ndarray]:
@@ -52,6 +53,16 @@ def set_criterion(
             "reference" (mean over the full n_match x n_match pairwise CIoU
             matrix, reproducing CompleteIOULoss at criterion.py:82-89 which
             feeds *all pairs* of the matched sets into the mean).
+        class_norm: focal-loss normalizer. "queries" divides the per-image
+            focal sum by the number of prediction rows — the reference's
+            choice (criterion.py:40-49 passes ``ordered_logits.size(0)``).
+            "boxes" divides by the number of valid GT boxes (min 1), the
+            DETR-family convention (Deformable-DETR criterion). At the
+            production top_k=300 the reference normalization dilutes the
+            positive-class gradient ~num_queries/num_gt (= ~67x at 4.5
+            GT/image), which starves detection confidence — measured in the
+            r4 production run (BASELINE.md). Documented shared extension,
+            REFCOMPAT "class-loss normalization".
         rows: optional precomputed assignment (B, T) to share one matcher
             solve across criteria.
         axis_name: mesh data-axis name when called per-shard inside
@@ -90,8 +101,12 @@ def set_criterion(
     # rows is duplicate-free per image (assignment invariant), so plain set is safe
     query_labels = query_labels.at[batch_idx, rows].set(scatter_labels)
     one_hot = jax.nn.one_hot(query_labels, num_cls, dtype=pred_logits.dtype)
+    if class_norm == "boxes":
+        class_denom = jnp.maximum(jnp.sum(tgt_valid, axis=-1), 1).astype(jnp.float32)
+    else:
+        class_denom = float(n)
     class_loss = sigmoid_focal_loss(
-        pred_logits, one_hot, num_boxes=float(n), alpha=focal_alpha, gamma=focal_gamma
+        pred_logits, one_hot, num_boxes=class_denom, alpha=focal_alpha, gamma=focal_gamma
     )  # (B,)
 
     # ---- box losses over matched pairs (criterion.py:60-71) ------------

@@ -79,6 +79,14 @@ def get_parser(model_name: str = "destr") -> argparse.ArgumentParser:
         p.add_argument("--set_cost_class", type=float, default=0.5)
         p.add_argument("--set_cost_bbox", type=float, default=0.0)
         p.add_argument("--set_cost_ciou", type=float, default=0.5)
+        p.add_argument("--class_norm", type=str, default="queries",
+                       choices=["queries", "boxes"],
+                       help="focal-loss normalizer: 'queries' divides the "
+                            "per-image focal sum by the prediction-row count "
+                            "(reference-faithful, criterion.py:40-49); "
+                            "'boxes' divides by the GT count (DETR-family). "
+                            "At top_k=300 'queries' starves the positive "
+                            "class gradient ~67x (BASELINE.md r4)")
         p.add_argument("--num_encoder_blocks", type=int, default=6)
         p.add_argument("--num_decoder_blocks", type=int, default=6)
         p.add_argument("--top_k", type=int, default=300)
@@ -135,6 +143,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         set_cost_class=getattr(args, "set_cost_class", 0.5),
         set_cost_bbox=getattr(args, "set_cost_bbox", 0.0),
         set_cost_ciou=getattr(args, "set_cost_ciou", 0.5),
+        class_norm=getattr(args, "class_norm", "queries"),
         coef_class_loss=getattr(args, "coef_class_loss", 0.5),
         augment_factor=args.augment_factor,
         resume=args.resume,

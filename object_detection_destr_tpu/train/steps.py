@@ -169,8 +169,10 @@ def make_destr_train_step(
         )
         targets = _destr_targets(batch)
         rows_model, rows_det = _match_pair(model_out, det_out, targets)
-        l_model = set_criterion(model_out, targets, rows=rows_model, axis_name=axis)
-        l_det = set_criterion(det_out, targets, rows=rows_det, axis_name=axis)
+        l_model = set_criterion(model_out, targets, rows=rows_model, axis_name=axis,
+                                class_norm=cfg.class_norm)
+        l_det = set_criterion(det_out, targets, rows=rows_det, axis_name=axis,
+                              class_norm=cfg.class_norm)
         loss_model = _weighted(l_model, cfg)
         loss_det = _weighted(l_det, cfg)
         loss = cfg.model_loss_weight * loss_model + cfg.det_loss_weight * loss_det
@@ -214,8 +216,10 @@ def make_destr_eval_step(
         )
         targets = _destr_targets(batch)
         rows_model, rows_det = _match_pair(model_out, det_out, targets)
-        l_model = set_criterion(model_out, targets, rows=rows_model, axis_name=axis)
-        l_det = set_criterion(det_out, targets, rows=rows_det, axis_name=axis)
+        l_model = set_criterion(model_out, targets, rows=rows_model, axis_name=axis,
+                                class_norm=cfg.class_norm)
+        l_det = set_criterion(det_out, targets, rows=rows_det, axis_name=axis,
+                              class_norm=cfg.class_norm)
         metrics = {
             "loss_model": _weighted(l_model, cfg),
             "loss_det": _weighted(l_det, cfg),

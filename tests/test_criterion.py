@@ -289,3 +289,30 @@ def test_set_criterion_more_targets_than_rows():
     np.testing.assert_allclose(
         np.asarray(losses["ciou"]), np.asarray(sub["ciou"]), rtol=1e-6
     )
+
+
+def test_set_criterion_class_norm_boxes():
+    """class_norm="boxes" rescales each image's focal sum by n/num_gt
+    relative to the reference's query normalization (REFCOMPAT
+    "class-loss normalization"); bbox/ciou are untouched."""
+    from object_detection_destr_tpu.losses.matcher import hungarian_match
+
+    rng = np.random.default_rng(11)
+    outputs, targets = _random_problem(rng, b=3, n=30, t=6)
+    valid = np.asarray(targets["valid"])
+    n = np.asarray(outputs["pred_class"]).shape[1]
+
+    rows = hungarian_match(outputs, targets)  # shared assignment
+    lq = set_criterion(outputs, targets, rows=rows)
+    lb = set_criterion(outputs, targets, rows=rows, class_norm="boxes")
+    np.testing.assert_allclose(np.asarray(lq["bbox"]), np.asarray(lb["bbox"]))
+    np.testing.assert_allclose(np.asarray(lq["ciou"]), np.asarray(lb["ciou"]))
+    # scale check on the batch mean: sum_i (s_i / n) vs sum_i (s_i / g_i)
+    # with equal g_i the ratio is exactly n / g
+    g = np.maximum(valid.sum(-1), 1)
+    if np.all(g == g[0]):
+        np.testing.assert_allclose(
+            np.asarray(lb["class"]), np.asarray(lq["class"]) * n / g[0], rtol=1e-5
+        )
+    else:
+        assert float(lb["class"]) > float(lq["class"])  # strictly stronger
