@@ -109,6 +109,10 @@ class TrainConfig:
     # BASELINE.md); "boxes" is the documented shared extension that fixes it
     # (REFCOMPAT "class-loss normalization").
     class_norm: str = "queries"
+    # optax.clip_by_global_norm before AdamW; 0 disables (the reference has
+    # no clipping — DETR-family trainers clip at max-norm 0.1, and the r4
+    # production runs showed the boxes-normalized class loss needs it)
+    grad_clip_norm: float = 0.0
     coef_class_loss: float = 0.5  # SSD class/local blend
     grad_accum_steps: int = 1  # optax.MultiSteps; 1 = off
     # AdamW update layout: "auto" | "per-leaf" | "grouped" | "flat"

@@ -69,7 +69,7 @@ def _batch_diagnostics(outputs: dict, targets: dict) -> dict:
         "n_pred_argmax0": int(argmax0.sum()),
         "n_pred": int(argmax0.size),
         "sum_max_sig0": float(sig0.max(-1).sum()),
-        "max_sig0": float(sig0.max()),
+        "max_sig0": float(sig0.max()),  # aggregated as a max downstream
     }
 
 
@@ -117,7 +117,10 @@ def evaluate_destr(config, checkpoint_name: str) -> dict:
         coco.update(outputs, targets)
         d = _batch_diagnostics(jax.device_get(outputs), jax.device_get(targets))
         for k, v in d.items():
-            totals[k] = totals.get(k, 0.0 if isinstance(v, float) else 0) + v
+            if k == "max_sig0":  # dataset max, not a sum
+                totals[k] = max(totals.get(k, 0.0), v)
+            else:
+                totals[k] = totals.get(k, 0.0 if isinstance(v, float) else 0) + v
 
     n_gt = max(totals.get("n_gt", 0), 1)
     n_img = max(totals.get("n_images", 0), 1)

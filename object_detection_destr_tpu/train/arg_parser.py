@@ -38,6 +38,10 @@ def _common(p: argparse.ArgumentParser) -> None:
     p.add_argument("--coco_eval", action="store_true",
                    help="also compute COCO-style AP at validation")
     p.add_argument("--grad_accum_steps", type=int, default=1)
+    p.add_argument("--grad_clip_norm", type=float, default=0.0,
+                   help="global-norm gradient clip before AdamW (0 = off, "
+                        "the reference behavior; DETR-family trainers use "
+                        "0.1 — load-bearing with --class_norm boxes)")
     p.add_argument("--opt_layout", type=str, default="auto",
                    choices=["auto", "per-leaf", "grouped", "flat"],
                    help="AdamW update layout (train/optim.py): grouped "
@@ -156,6 +160,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         profile_dir=args.profile_dir,
         coco_eval=args.coco_eval,
         grad_accum_steps=args.grad_accum_steps,
+        grad_clip_norm=getattr(args, "grad_clip_norm", 0.0),
         opt_layout=getattr(args, "opt_layout", "auto"),
         rng_impl=getattr(args, "rng_impl", "rbg"),
         image_size=getattr(args, "image_size", 640),

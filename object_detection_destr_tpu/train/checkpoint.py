@@ -109,6 +109,17 @@ def restore_for_inference(checkpoint_dir: str, name: str) -> dict:
     only the model variables are returned.
     """
     path = _resolve_ckpt_path(checkpoint_dir, name)
-    raw = ocp.StandardCheckpointer().restore(path)
+    # Restore every leaf as host numpy: a checkpoint written on TPU records
+    # device shardings, and a naive restore on a CPU-only host fails with
+    # "Device TPU v5 lite0 was not found" — inference must be able to read
+    # any checkpoint on any platform.
+    ckptr = ocp.PyTreeCheckpointer()
+    item_meta = ckptr.metadata(path).item_metadata
+    tree = item_meta.tree if hasattr(item_meta, "tree") else item_meta
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    restore_args = jax.tree_util.tree_unflatten(
+        treedef, [ocp.RestoreArgs(restore_type=np.ndarray)] * len(leaves)
+    )
+    raw = ckptr.restore(path, restore_args=restore_args)
     state = raw["state"]
     return {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
