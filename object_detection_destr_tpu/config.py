@@ -113,6 +113,9 @@ class TrainConfig:
     # no clipping — DETR-family trainers clip at max-norm 0.1, and the r4
     # production runs showed the boxes-normalized class loss needs it)
     grad_clip_norm: float = 0.0
+    # reject optimizer updates containing inf/NaN (optax.apply_if_finite);
+    # value = max consecutive rejected steps before erroring; 0 disables
+    skip_nonfinite_updates: int = 0
     coef_class_loss: float = 0.5  # SSD class/local blend
     grad_accum_steps: int = 1  # optax.MultiSteps; 1 = off
     # AdamW update layout: "auto" | "per-leaf" | "grouped" | "flat"

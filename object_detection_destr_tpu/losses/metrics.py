@@ -219,8 +219,11 @@ class CocoAveragePrecision:
                 continue
             s = scores[:, cls].reshape(-1)
             t = tps[:, cls].reshape(-1, len(self.IOU_THRESHOLDS))
-            valid = s > -1.0  # padded slots carry score -1
+            valid = s > -1.0  # padded slots carry score -1 (NaN also fails)
             s, t = s[valid], t[valid]
+            if s.size == 0:  # no detections survived (e.g. a NaN epoch)
+                aps.extend([0.0] * len(self.IOU_THRESHOLDS))
+                continue
             order = np.argsort(-s, kind="stable")
             t = t[order]
             for j in range(len(self.IOU_THRESHOLDS)):

@@ -42,6 +42,10 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help="global-norm gradient clip before AdamW (0 = off, "
                         "the reference behavior; DETR-family trainers use "
                         "0.1 — load-bearing with --class_norm boxes)")
+    p.add_argument("--skip_nonfinite", type=int, default=0,
+                   help="reject optimizer updates containing inf/NaN "
+                        "(optax.apply_if_finite); value = max consecutive "
+                        "rejections before erroring, 0 = off")
     p.add_argument("--opt_layout", type=str, default="auto",
                    choices=["auto", "per-leaf", "grouped", "flat"],
                    help="AdamW update layout (train/optim.py): grouped "
@@ -161,6 +165,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         coco_eval=args.coco_eval,
         grad_accum_steps=args.grad_accum_steps,
         grad_clip_norm=getattr(args, "grad_clip_norm", 0.0),
+        skip_nonfinite_updates=getattr(args, "skip_nonfinite", 0),
         opt_layout=getattr(args, "opt_layout", "auto"),
         rng_impl=getattr(args, "rng_impl", "rbg"),
         image_size=getattr(args, "image_size", 640),

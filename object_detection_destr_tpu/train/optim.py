@@ -230,6 +230,7 @@ def build_optimizer(
     weight_decay: float = 0.01,  # torch AdamW default, used by train.py:240
     grad_clip: float | None = None,
     grad_accum_steps: int = 1,
+    skip_nonfinite: int = 0,
     fused: bool | str = "auto",
 ) -> optax.GradientTransformation:
     """AdamW with per-group LRs; optional global-norm clip and gradient
@@ -276,6 +277,13 @@ def build_optimizer(
         tx = optax.multi_transform(transforms, param_labels(params))
     if grad_clip:
         tx = optax.chain(optax.clip_by_global_norm(grad_clip), tx)
+    if skip_nonfinite:
+        # reject whole updates containing inf/NaN (params stay finite; the
+        # offending step becomes a no-op). Production safety net for rare
+        # degenerate batches — errors after `skip_nonfinite` consecutive
+        # bad steps. The reference has no equivalent: one NaN batch
+        # poisons its weights permanently.
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=skip_nonfinite)
     if grad_accum_steps > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=grad_accum_steps)
     return tx

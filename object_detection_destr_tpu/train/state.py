@@ -79,6 +79,7 @@ def _init_state(
         lr=lr,
         lr_backbone=lr_backbone,
         grad_clip=getattr(train_cfg, "grad_clip_norm", 0.0) or None,
+        skip_nonfinite=getattr(train_cfg, "skip_nonfinite_updates", 0),
         grad_accum_steps=train_cfg.grad_accum_steps,
         fused={"per-leaf": False, "grouped": "grouped", "flat": True}.get(
             getattr(train_cfg, "opt_layout", "auto"), "auto"

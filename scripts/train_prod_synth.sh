@@ -21,11 +21,12 @@
 #     gradient destabilizes box optimization (val CIoU never descends).
 # Hence: boxes normalization + L1 box loss (the reference parses
 # --set_cost_bbox but defaults it to 0, zeroing L1 out) + global-norm grad
-# clip 0.1 + batch 32 at lr 2e-4 — the Deformable-DETR pairing; b32 runs at
-# the same img/s as b8 on this chip (BASELINE.md), so epochs are 4x fewer
-# dispatches. The backbone trains from scratch (no ImageNet weights in this
-# environment), so it gets the full lr rather than the reference's
-# pretrained-backbone split.
+# clip 0.1 + batch 16 (b32 + the 3.1 GB HBM dataset cache OOMed; b16
+# halves the dispatch count at the same img/s — BASELINE.md) at lr 1e-4
+# (2e-4 with the full-lr backbone NaN'd at epoch 2 in run 3a) +
+# --skip_nonfinite so a rare degenerate batch skips its update instead of
+# poisoning the weights. The backbone trains from scratch — no ImageNet
+# weights exist in this environment.
 #
 # Usage: scripts/train_prod_synth.sh [extra flags...]
 #   e.g. scripts/train_prod_synth.sh --epochs 2 --resume --resume_from prod_r4_ep30
@@ -35,11 +36,11 @@ cd "$(dirname "$0")/.."
 exec python -m object_detection_destr_tpu.train.train \
     --dataset synthetic --synthetic_size 672 \
     --num_train_samples 2048 --num_valid_samples 256 --augment_factor 1 \
-    --image_size 640 --batch_size 32 --compute_dtype bfloat16 \
+    --image_size 640 --batch_size 16 --compute_dtype bfloat16 \
     --num_encoder_blocks 6 --num_decoder_blocks 6 --top_k 300 \
-    --epochs 150 --lr 2e-4 --lr_backbone 2e-4 --lr_drop 120 \
+    --epochs 120 --lr 1e-4 --lr_backbone 1e-4 --lr_drop 90 \
     --class_norm boxes --set_cost_class 1 --set_cost_bbox 2.5 \
-    --set_cost_ciou 1 --grad_clip_norm 0.1 \
+    --set_cost_ciou 1 --grad_clip_norm 0.1 --skip_nonfinite 100 \
     --device_cache --coco_eval --save_as prod_r4 \
     --checkpoint_dir checkpoints_prod --log_dir runs_prod \
     --log_interval 32 \

@@ -223,3 +223,24 @@ def test_coco_ap_hand_derived_goldens():
             CocoAveragePrecision.IOU_THRESHOLDS,
         )
         assert golden == pytest.approx(case["expected_ap"], abs=1e-6), case["name"]
+
+
+def test_coco_ap_all_nan_epoch_returns_zero():
+    """A NaN forward pass must degrade to AP 0.0, not crash compute()
+    (every score fails the `> -1` validity filter, leaving an empty
+    detection set — regression: IndexError on precision[-1])."""
+    import jax.numpy as jnp
+    from object_detection_destr_tpu.losses.metrics import CocoAveragePrecision
+
+    m = CocoAveragePrecision(num_cls=1, max_dets_per_image=4)
+    outputs = {
+        "pred_class": jnp.full((2, 6, 2), jnp.nan),
+        "pred_boxes": jnp.full((2, 6, 4), jnp.nan),
+    }
+    targets = {
+        "boxes": jnp.asarray([[[0.1, 0.1, 0.4, 0.4]]] * 2),
+        "labels": jnp.zeros((2, 1), jnp.int32),
+        "valid": jnp.ones((2, 1), bool),
+    }
+    m.update(outputs, targets)
+    assert m.compute() == 0.0

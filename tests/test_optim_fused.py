@@ -248,3 +248,26 @@ def test_fused_update_under_jit_and_donation():
     assert int(s2.count) == 2
     for leaf in jax.tree.leaves(p2):
         assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_skip_nonfinite_rejects_nan_update():
+    """skip_nonfinite: an inf/NaN gradient step is a no-op (params stay
+    finite and unchanged); the next finite step applies normally."""
+    rng = np.random.default_rng(5)
+    params = _toy_params(rng)
+    tx = build_optimizer(params, lr=1e-2, lr_backbone=1e-2, skip_nonfinite=10)
+    state = tx.init(params)
+
+    finite = jax.tree.map(jnp.ones_like, params)
+    poisoned = jax.tree.map(jnp.ones_like, params)
+    poisoned["head"]["dense"]["kernel"] = (
+        poisoned["head"]["dense"]["kernel"].at[0, 0].set(jnp.nan)
+    )
+
+    upd, state = tx.update(poisoned, state, params)
+    for leaf in jax.tree.leaves(upd):
+        np.testing.assert_array_equal(np.asarray(leaf), 0.0)
+
+    upd, state = tx.update(finite, state, params)
+    moved = any(np.any(np.asarray(u) != 0.0) for u in jax.tree.leaves(upd))
+    assert moved and all(np.all(np.isfinite(u)) for u in jax.tree.leaves(upd))
