@@ -114,8 +114,14 @@ class TrainConfig:
     # production runs showed the boxes-normalized class loss needs it)
     grad_clip_norm: float = 0.0
     # reject optimizer updates containing inf/NaN (optax.apply_if_finite);
-    # value = max consecutive rejected steps before erroring; 0 disables
+    # value = max consecutive rejected steps before erroring; 0 disables.
+    # Also gates the BN batch_stats update elementwise on finiteness —
+    # running stats poisoned by one NaN forward otherwise never recover.
     skip_nonfinite_updates: int = 0
+    # linear lr warmup over the first N steps (0 = off, reference behavior).
+    # From-scratch DESTR at production scale diverges without it
+    # (BASELINE.md r4 runs 3a/3c)
+    lr_warmup_steps: int = 0
     coef_class_loss: float = 0.5  # SSD class/local blend
     grad_accum_steps: int = 1  # optax.MultiSteps; 1 = off
     # AdamW update layout: "auto" | "per-leaf" | "grouped" | "flat"

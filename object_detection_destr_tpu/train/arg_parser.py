@@ -23,6 +23,10 @@ def _common(p: argparse.ArgumentParser) -> None:
                         "checkpoint was written with (the schedule lives "
                         "in the optimizer state tree)")
     p.add_argument("--lr_drop_factor", type=float, default=0.1)
+    p.add_argument("--lr_warmup_steps", type=int, default=0,
+                   help="linear lr warmup over the first N steps (0 = off, "
+                        "the reference behavior; from-scratch production "
+                        "training diverges without it, BASELINE.md r4)")
     p.add_argument("--epochs", type=int, default=10)
     p.add_argument("--batch_size", type=int, default=12)
     p.add_argument("--augment_factor", type=int, default=5)
@@ -146,6 +150,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         lr_backbone=args.lr_backbone,
         lr_drop=args.lr_drop,
         lr_drop_factor=args.lr_drop_factor,
+        lr_warmup_steps=getattr(args, "lr_warmup_steps", 0),
         epochs=args.epochs,
         batch_size=args.batch_size,
         set_cost_class=getattr(args, "set_cost_class", 0.5),

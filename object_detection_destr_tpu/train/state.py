@@ -39,18 +39,35 @@ class TrainState(struct.PyTreeNode):
 
 
 def _lr_specs(train_cfg: TrainConfig, steps_per_epoch: int):
-    """(lr, lr_backbone) as floats, or optax schedules when ``lr_drop`` is
-    set (config.TrainConfig.lr_drop — a shared extension; the reference has
-    no schedule). The boundary is a STEP count so the drop survives
-    checkpoint resume via the optimizer count."""
+    """(lr, lr_backbone) as floats, or optax schedules when ``lr_drop``
+    and/or ``lr_warmup_steps`` are set (shared extensions; the reference has
+    no schedule). Boundaries are STEP counts so both survive checkpoint
+    resume via the optimizer count."""
     lr, lr_bb = train_cfg.lr, train_cfg.lr_backbone
     drop = getattr(train_cfg, "lr_drop", 0)
-    if drop and drop > 0 and steps_per_epoch > 0:
-        factor = getattr(train_cfg, "lr_drop_factor", 0.1)
-        boundary = {drop * steps_per_epoch: factor}
-        lr = optax.piecewise_constant_schedule(lr, boundary)
-        if lr_bb > 0:
-            lr_bb = optax.piecewise_constant_schedule(lr_bb, boundary)
+    warmup = getattr(train_cfg, "lr_warmup_steps", 0)
+    boundary_step = (
+        drop * steps_per_epoch if drop and drop > 0 and steps_per_epoch > 0 else 0
+    )
+    factor = getattr(train_cfg, "lr_drop_factor", 0.1)
+
+    def make(base):
+        if not (warmup or boundary_step):
+            return base
+
+        def sched(count):
+            value = base
+            if boundary_step:
+                value = value * jnp.where(count >= boundary_step, factor, 1.0)
+            if warmup:
+                value = value * jnp.minimum(1.0, (count + 1) / warmup)
+            return value
+
+        return sched
+
+    lr = make(lr)
+    if lr_bb > 0:
+        lr_bb = make(lr_bb)
     return lr, lr_bb
 
 

@@ -197,10 +197,25 @@ def make_destr_train_step(
             # the loss is already the GLOBAL-batch loss (criterion psums), so
             # each shard's grad is its data's contribution — psum completes it
             grads = jax.lax.psum(grads, axis)
+        new_stats = _guard_stats(new_stats, state.batch_stats, cfg)
         new_state = state.apply_gradients(grads, tx, batch_stats=new_stats, rng=rng)
         return new_state, metrics
 
     return _wrap_step(train_step, mesh, out_specs=(P(), P()), donate=True)
+
+
+def _guard_stats(new_stats, old_stats, cfg: TrainConfig):
+    """Keep BN running stats finite when non-finite protection is on.
+
+    ``optax.apply_if_finite`` shields params, but batch_stats mutate in the
+    forward pass — one NaN activation would poison the running mean/var for
+    the rest of the run (observed in the r4 production runs: every epoch
+    after a single NaN step evaluated as NaN)."""
+    if not getattr(cfg, "skip_nonfinite_updates", 0):
+        return new_stats
+    return jax.tree.map(
+        lambda n, o: jnp.where(jnp.isfinite(n), n, o), new_stats, old_stats
+    )
 
 
 def make_destr_eval_step(
@@ -273,6 +288,7 @@ def make_ssd_train_step(
             # of equal-size shard means — classic DP reduction
             grads = jax.lax.pmean(grads, axis)
             metrics = jax.lax.pmean(metrics, axis)
+        new_stats = _guard_stats(new_stats, state.batch_stats, cfg)
         new_state = state.apply_gradients(grads, tx, batch_stats=new_stats, rng=rng)
         return new_state, metrics
 

@@ -39,6 +39,7 @@ exec python -m object_detection_destr_tpu.train.train \
     --image_size 640 --batch_size 16 --compute_dtype bfloat16 \
     --num_encoder_blocks 6 --num_decoder_blocks 6 --top_k 300 \
     --epochs 120 --lr 1e-4 --lr_backbone 1e-4 --lr_drop 90 \
+    --lr_warmup_steps 1000 \
     --class_norm boxes --set_cost_class 1 --set_cost_bbox 2.5 \
     --set_cost_ciou 1 --grad_clip_norm 0.1 --skip_nonfinite 100 \
     --device_cache --coco_eval --save_as prod_r4 \
