@@ -38,6 +38,9 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--weights", type=str, default="model_weights")
     p.add_argument("--images", nargs="+", required=True)
     p.add_argument("--output", type=str, default="detections.json")
+    p.add_argument("--draw", type=str, default=None, metavar="DIR",
+                   help="also write annotated PNGs (detections drawn over "
+                        "the original image) into DIR")
     p.add_argument("--score_thresh", type=float, default=0.5)
     p.add_argument("--image_size", type=int, default=None)
     p.add_argument("--letterbox", action=argparse.BooleanOptionalAction,
@@ -136,7 +139,31 @@ def main(argv=None) -> list[dict]:
         json.dump(records, fh)
     print(f"wrote {sum(len(r['boxes']) for r in records)} detections "
           f"for {len(records)} images -> {args.output}")
+    if args.draw:
+        _draw_records(records, args.draw)
     return records
+
+
+def _draw_records(records: list[dict], out_dir: str) -> None:
+    """Annotated PNGs: detections (normalized xyxy) over the original image."""
+    import os
+
+    from PIL import Image, ImageDraw
+
+    os.makedirs(out_dir, exist_ok=True)
+    for rec in records:
+        with Image.open(rec["file"]) as im:
+            im = im.convert("RGB")
+            w, h = im.size
+            draw = ImageDraw.Draw(im)
+            for box, score, label in zip(rec["boxes"], rec["scores"], rec["labels"]):
+                x1, y1, x2, y2 = box[0] * w, box[1] * h, box[2] * w, box[3] * h
+                draw.rectangle([x1, y1, x2, y2], outline=(0, 255, 0), width=2)
+                draw.text((x1 + 2, max(y1 - 12, 0)), f"{label}:{score:.2f}",
+                          fill=(0, 255, 0))
+            name = os.path.splitext(os.path.basename(rec["file"]))[0]
+            im.save(os.path.join(out_dir, f"{name}_det.png"))
+    print(f"wrote {len(records)} annotated images -> {out_dir}")
 
 
 if __name__ == "__main__":
