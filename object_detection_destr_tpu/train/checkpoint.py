@@ -25,6 +25,21 @@ def _ckpt_dir(checkpoint_dir: str, name: str) -> str:
     return os.path.abspath(os.path.join(checkpoint_dir, name))
 
 
+# One process-wide checkpointer: orbax serializes operations per instance,
+# so successive saves cannot race each other's background commit threads.
+# (Per-call instances raced: an epoch's best-save threads could still be
+# committing while the _last-save staged into the same parent directory —
+# observed as a tensorstore ENOENT rename failure in the r4 production run.)
+_CKPTR: ocp.StandardCheckpointer | None = None
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    global _CKPTR
+    if _CKPTR is None:
+        _CKPTR = ocp.StandardCheckpointer()
+    return _CKPTR
+
+
 def save_checkpoint(
     checkpoint_dir: str,
     name: str,
@@ -39,7 +54,7 @@ def save_checkpoint(
         "loader": loader_state or {},
         "best_val": np.asarray(best_val if best_val is not None else np.inf),
     }
-    ckptr = ocp.StandardCheckpointer()
+    ckptr = _checkpointer()
     if os.path.exists(path):
         # Orbax refuses to overwrite; stage-and-swap. A crash anywhere in
         # this sequence leaves a complete checkpoint restorable by
@@ -92,8 +107,7 @@ def restore_checkpoint(checkpoint_dir: str, name: str, state_template: Any) -> d
         "loader": {"epoch": 0, "step": 0},
         "best_val": np.asarray(np.inf),
     }
-    ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(path, template)
+    restored = _checkpointer().restore(path, template)
     return restored
 
 

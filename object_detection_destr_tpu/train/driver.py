@@ -58,6 +58,21 @@ from .steps import (
 __all__ = ["train_destr", "train_ssd"]
 
 
+def _try_save(*args) -> None:
+    """Per-epoch checkpoint write that cannot kill the run.
+
+    A transient filesystem/serialization failure (observed once as a
+    tensorstore ENOENT during the r4 production run) costs one checkpoint,
+    not hours of training — the next epoch writes again. The interrupt
+    handler still saves unguarded: if THAT fails there is nothing left to
+    protect."""
+    try:
+        save_checkpoint(*args)
+    except Exception as e:  # noqa: BLE001 — deliberate catch-all at the epoch boundary
+        print(f"WARNING: checkpoint save failed ({type(e).__name__}: {e}); "
+              "continuing — next epoch will retry", flush=True)
+
+
 def _make_loaders(config: Config, canvas: int, for_train_model: str, mesh=None):
     data = config.data
     num_classes = {"destr": 1, "ssd": config.ssd.num_cls}[for_train_model]
@@ -263,14 +278,14 @@ def train_destr(config: Config, mesh=None) -> dict:
             val_model = val_means.get("loss_model", np.inf)
             if val_model < best_val:
                 best_val = val_model
-                save_checkpoint(
+                _try_save(
                     cfg_t.checkpoint_dir,
                     cfg_t.save_as,
                     state,
                     train_loader.state_dict(),
                     best_val,
                 )
-            save_checkpoint(
+            _try_save(
                 cfg_t.checkpoint_dir,
                 cfg_t.save_as + "_last",
                 state,
@@ -384,11 +399,11 @@ def train_ssd(config: Config, mesh=None) -> dict:
             val_loss = val_means.get("loss", np.inf)
             if val_loss < best_val:
                 best_val = val_loss
-                save_checkpoint(
+                _try_save(
                     cfg_t.checkpoint_dir, cfg_t.save_as, state,
                     train_loader.state_dict(), best_val,
                 )
-            save_checkpoint(
+            _try_save(
                 cfg_t.checkpoint_dir, cfg_t.save_as + "_last", state,
                 train_loader.state_dict(), best_val,
             )
