@@ -58,6 +58,39 @@ from .steps import (
 __all__ = ["train_destr", "train_ssd"]
 
 
+def _params_finite(state) -> bool:
+    """One jitted all-finite reduction over the parameter tree (one scalar
+    fetch per epoch — per-leaf host checks would cost a tunnel RTT each).
+
+    ``optax.apply_if_finite`` fails OPEN: after ``max_consecutive_errors``
+    non-finite steps it propagates the bad update, poisoning the params for
+    the rest of the run (observed in the r4 production run 3e: divergence at
+    epoch 52 burned the remaining 67 epochs as NaN and overwrote the good
+    ``_last`` checkpoint with NaN weights). The drivers therefore halt — and
+    stop writing checkpoints — the moment the params go non-finite."""
+    import jax.numpy as jnp
+
+    leaves = [
+        l for l in jax.tree.leaves(state.params)
+        if jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+    ]
+    ok = jax.jit(
+        lambda ls: jnp.all(jnp.stack([jnp.all(jnp.isfinite(l)) for l in ls]))
+    )(leaves)
+    return bool(jax.device_get(ok))
+
+
+def _halt_diverged(save_as: str, epoch: int) -> None:
+    print(
+        f"FATAL: non-finite parameters after epoch {epoch} — training has "
+        "diverged past the --skip_nonfinite window (optax.apply_if_finite "
+        "fails open after max_consecutive_errors). Halting without "
+        f"overwriting checkpoints; resume from '{save_as}' (best) or "
+        f"'{save_as}_last' with a lower lr.",
+        flush=True,
+    )
+
+
 def _try_save(*args) -> None:
     """Per-epoch checkpoint write that cannot kill the run.
 
@@ -274,6 +307,11 @@ def train_destr(config: Config, mesh=None) -> dict:
             if coco_metric is not None:
                 logger.scalar("Metric/coco_mAP", coco_metric.compute(), host_step)
 
+            # ---- divergence halt: never checkpoint NaN params
+            if not _params_finite(state):
+                _halt_diverged(cfg_t.save_as, epoch)
+                break
+
             # ---- best checkpoint on lowest model val loss (train.py:123-128)
             val_model = val_means.get("loss_model", np.inf)
             if val_model < best_val:
@@ -395,6 +433,10 @@ def train_ssd(config: Config, mesh=None) -> dict:
             for k, v in val_means.items():
                 logger.scalar(f"Loss/valid/{k}", v, host_step)
             logger.scalar("Metric/mAP", val_map, host_step)
+
+            if not _params_finite(state):
+                _halt_diverged(cfg_t.save_as, epoch)
+                break
 
             val_loss = val_means.get("loss", np.inf)
             if val_loss < best_val:

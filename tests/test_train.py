@@ -348,3 +348,25 @@ def test_lr_drop_cli_flag():
     config = config_from_args(args, "destr")
     assert config.train.lr_drop == 40
     assert config.train.lr_drop_factor == pytest.approx(0.2)
+
+
+def test_params_finite_divergence_guard():
+    """The drivers halt (and stop checkpointing) once params go non-finite:
+    optax.apply_if_finite fails OPEN after max_consecutive_errors, which in
+    the r4 production run poisoned the params and the `_last` checkpoint."""
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from object_detection_destr_tpu.train.driver import _params_finite
+
+    good = SimpleNamespace(params={"a": jnp.ones((3, 3)), "b": {"c": jnp.zeros(4)}})
+    assert _params_finite(good)
+
+    bad = SimpleNamespace(
+        params={"a": jnp.ones((3, 3)).at[1, 1].set(jnp.nan), "b": {"c": jnp.zeros(4)}}
+    )
+    assert not _params_finite(bad)
+
+    inf_bad = SimpleNamespace(params={"a": jnp.full((2,), jnp.inf)})
+    assert not _params_finite(inf_bad)
