@@ -53,17 +53,22 @@ def _batch_diagnostics(outputs: dict, targets: dict) -> dict:
 
     iou = np.asarray(pairwise_iou(jnp.asarray(pred_xyxy), jnp.asarray(gt)))
     best_iou_per_gt = iou.max(axis=1)  # (B, T)
-    # IoU of the top-scoring prediction against its best GT (what a
-    # confident-but-misplaced model would fail)
+    # IoU of the top-scoring prediction against its best-overlapping valid
+    # GT, per image (what a confident-but-misplaced model would fail);
+    # aggregated over images WITH at least one GT, not over GTs — summing
+    # over all GTs diluted the value ~n_gt-fold on multi-GT images
     top_pred = sig0.argmax(-1)  # (B,)
     top_iou = iou[np.arange(iou.shape[0]), top_pred]  # (B, T)
+    img_has_gt = gt_valid.any(-1)  # (B,)
+    top_iou_best = np.where(gt_valid, top_iou, -1.0).max(-1)  # (B,)
 
     sel = gt_valid
     return {
         "n_gt": int(sel.sum()),
         "sum_best_iou": float(best_iou_per_gt[sel].sum()),
         "n_gt_localized": int((best_iou_per_gt[sel] >= 0.5).sum()),
-        "sum_top_iou": float(np.where(sel, top_iou, 0.0).sum()),
+        "sum_top_iou": float(top_iou_best[img_has_gt].sum()),
+        "n_img_with_gt": int(img_has_gt.sum()),
         "n_images": int(logits.shape[0]),
         "n_img_with_argmax0": int(argmax0.any(-1).sum()),
         "n_pred_argmax0": int(argmax0.sum()),
@@ -122,6 +127,12 @@ def evaluate_destr(config, checkpoint_name: str) -> dict:
             else:
                 totals[k] = totals.get(k, 0.0 if isinstance(v, float) else 0) + v
 
+    if not totals:
+        raise RuntimeError(
+            "empty validation split: the loader yielded zero batches "
+            f"(num_valid_samples={config.data.num_valid_samples}, "
+            f"batch_size={cfg_t.batch_size})"
+        )
     n_gt = max(totals.get("n_gt", 0), 1)
     n_img = max(totals.get("n_images", 0), 1)
     return {
@@ -130,17 +141,22 @@ def evaluate_destr(config, checkpoint_name: str) -> dict:
         "map": metric.compute(m_state),
         "coco_map": coco.compute(),
         # localization ceiling: best-possible recall at IoU 0.5 over ALL preds
-        "gt_localized_frac": totals["n_gt_localized"] / n_gt,
-        "mean_best_iou_per_gt": totals["sum_best_iou"] / n_gt,
-        "mean_top_pred_iou": totals["sum_top_iou"] / n_gt,
+        "gt_localized_frac": totals.get("n_gt_localized", 0) / n_gt,
+        "mean_best_iou_per_gt": totals.get("sum_best_iou", 0.0) / n_gt,
+        # mean over images-with-GT of the top-scoring prediction's best IoU
+        "mean_top_pred_iou": (
+            totals.get("sum_top_iou", 0.0) / max(totals.get("n_img_with_gt", 0), 1)
+        ),
         # reference-metric selection rule: argmax(softmax) == class 0
-        "img_with_argmax_fg_frac": totals["n_img_with_argmax0"] / n_img,
-        "pred_argmax_fg_frac": totals["n_pred_argmax0"] / max(totals["n_pred"], 1),
+        "img_with_argmax_fg_frac": totals.get("n_img_with_argmax0", 0) / n_img,
+        "pred_argmax_fg_frac": (
+            totals.get("n_pred_argmax0", 0) / max(totals.get("n_pred", 0), 1)
+        ),
         # score calibration
-        "mean_image_max_score": totals["sum_max_sig0"] / n_img,
-        "max_score": totals["max_sig0"],
-        "n_gt": int(totals["n_gt"]),
-        "n_images": int(totals["n_images"]),
+        "mean_image_max_score": totals.get("sum_max_sig0", 0.0) / n_img,
+        "max_score": totals.get("max_sig0", 0.0),
+        "n_gt": int(totals.get("n_gt", 0)),
+        "n_images": int(totals.get("n_images", 0)),
     }
 
 
