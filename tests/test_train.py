@@ -370,3 +370,88 @@ def test_params_finite_divergence_guard():
 
     inf_bad = SimpleNamespace(params={"a": jnp.full((2,), jnp.inf)})
     assert not _params_finite(inf_bad)
+
+
+def test_driver_halts_on_divergence_without_overwriting_checkpoints(
+    tmp_path, monkeypatch, capsys
+):
+    """Integration test for the break-before-save ordering in
+    train_destr (driver.py: the divergence halt sits BEFORE the best/_last
+    saves): a run whose params go non-finite mid-training must (a) halt,
+    (b) leave the pre-NaN `save_as` and `_last` checkpoints untouched, and
+    (c) be resumable from `_last`. This is the exact failure that burned
+    the r4 production run 3e — apply_if_finite failed open at epoch 52 and
+    the then-current driver overwrote the good `_last` with NaN weights."""
+    import dataclasses
+
+    from object_detection_destr_tpu.train import driver as driver_mod
+    from object_detection_destr_tpu.train.driver import train_destr
+
+    real_maker = driver_mod.make_destr_train_step
+    calls = {"n": 0}
+
+    def poisoned_maker(model, tx, cfg, mesh=None):
+        real = real_maker(model, tx, cfg, mesh=mesh)
+
+        def step(state, batch):
+            new_state, metrics = real(state, batch)
+            calls["n"] += 1
+            if calls["n"] >= 3:  # epoch 1 (2 steps/epoch): poison the params
+                new_state = new_state.replace(
+                    params=jax.tree.map(lambda p: p * jnp.nan, new_state.params)
+                )
+            return new_state, metrics
+
+        return step
+
+    monkeypatch.setattr(driver_mod, "make_destr_train_step", poisoned_maker)
+
+    config = Config(
+        destr=TINY_DESTR,
+        train=TrainConfig(
+            batch_size=2,
+            image_size=64,
+            epochs=4,  # would run 4; must halt after epoch 1
+            lr=1e-3,
+            lr_backbone=0.0,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            log_dir=str(tmp_path / "runs"),
+            log_interval=2,
+        ),
+        data=DataConfig(
+            dataset="synthetic",
+            image_size=80,
+            num_train_samples=4,
+            num_valid_samples=2,
+            augment_factor=1,
+            max_targets=8,
+        ),
+    )
+    train_destr(config)
+    out = capsys.readouterr().out
+    assert "FATAL: non-finite parameters" in out
+    # exactly 2 epochs ran (4 steps); epochs 2-3 never started
+    assert calls["n"] == 4
+
+    # both checkpoints hold the finite epoch-0 state (loader epoch 1)
+    model = build_destr(TINY_DESTR)
+    state, _ = create_destr_state(model, config.train, image_size=64)
+    for name in ("model_weights", "model_weights_last"):
+        restored = restore_checkpoint(str(tmp_path / "ckpt"), name, state)
+        leaves = jax.tree.leaves(restored["state"].params)
+        assert all(bool(jnp.all(jnp.isfinite(l))) for l in leaves), name
+        assert int(restored["state"].step) == 2, name
+        assert restored["loader"]["epoch"] == 1, name
+
+    # resume from _last with a healthy step: trains and stays finite
+    monkeypatch.setattr(driver_mod, "make_destr_train_step", real_maker)
+    config2 = Config(
+        destr=config.destr,
+        train=dataclasses.replace(
+            config.train, resume=True, resume_from="model_weights_last", epochs=1
+        ),
+        data=config.data,
+    )
+    result2 = train_destr(config2)
+    assert np.isfinite(result2["best_val"])
+    assert int(jax.device_get(result2["state"].step)) == 4
