@@ -94,6 +94,13 @@ def main(argv=None):
                     help="also time the bare native fused decode+resize call "
                          "over the corpus bytes (no loader, no annotations)")
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--workers-sweep", type=str, default=None,
+                    help="comma-separated worker counts (e.g. 1,2,4,8): "
+                         "measure img/s at each and record the per-worker "
+                         "scaling — the honest basis for the 'decode "
+                         "thread-pool scales with cores' claim (on a "
+                         "1-core host all counts measure the same rate "
+                         "by construction, BASELINE.md r4/r5)")
     args = ap.parse_args(argv)
 
     from object_detection_destr_tpu.data.datasets import build_dataset
@@ -109,33 +116,36 @@ def main(argv=None):
         build_synthetic_coco(root, args.num_images, tuple(args.image_hw))
     ds = build_dataset(args.dataset, root, args.split)
 
-    loader = DetectionLoader(
-        ds, batch_size=args.batch_size, canvas_size=args.canvas,
-        max_targets=args.max_targets, shuffle=True, seed=0,
-        prefetch=args.prefetch, num_workers=args.num_workers,
-        letterbox=args.letterbox,
-    )
-    n_batches = args.num_batches or len(loader)
+    def measure(num_workers: int) -> float:
+        loader = DetectionLoader(
+            ds, batch_size=args.batch_size, canvas_size=args.canvas,
+            max_targets=args.max_targets, shuffle=True, seed=0,
+            prefetch=args.prefetch, num_workers=num_workers,
+            letterbox=args.letterbox,
+        )
+        n_batches = args.num_batches or len(loader)
+        best = None
+        for _ in range(args.repeats):
+            it = iter(loader)
+            next(it)  # warm the pool / page cache outside the window
+            t0 = time.perf_counter()
+            count = 0
+            for batch in it:
+                count += batch["images"].shape[0]
+                if count >= (n_batches - 1) * args.batch_size:
+                    break
+            dt = time.perf_counter() - t0
+            rate = count / dt
+            best = rate if best is None else max(best, rate)
+        return best
+
     path = (
         "letterbox(cv2)" if args.letterbox else
         "native fused decode+resize" if native.is_available() and hasattr(ds, "raw_item")
         else "native batch_resize" if native.is_available()
         else "cv2/PIL"
     )
-
-    best = None
-    for _ in range(args.repeats):
-        it = iter(loader)
-        next(it)  # warm the pool / page cache outside the window
-        t0 = time.perf_counter()
-        count = 0
-        for batch in it:
-            count += batch["images"].shape[0]
-            if count >= (n_batches - 1) * args.batch_size:
-                break
-        dt = time.perf_counter() - t0
-        rate = count / dt
-        best = rate if best is None else max(best, rate)
+    best = measure(args.num_workers)
 
     result = {
         "metric": (
@@ -146,6 +156,13 @@ def main(argv=None):
         "value": round(best, 1),
         "unit": "images/sec",
     }
+
+    if args.workers_sweep:
+        counts = [int(x) for x in args.workers_sweep.split(",")]
+        result["host_cores"] = os.cpu_count()
+        result["workers_sweep"] = {
+            str(n): round(measure(n), 1) for n in counts
+        }
 
     if args.decode_only and native.is_available() and hasattr(ds, "raw_item"):
         blobs = [ds.raw_item(i)[0] for i in range(min(len(ds), 256))]
