@@ -15,3 +15,20 @@ Subpackages:
 """
 
 __version__ = "0.1.0"
+
+
+def enable_persistent_jit_cache(path: str | None = None) -> None:
+    """Point JAX's persistent compilation cache at ``path`` (default
+    ``$JAX_COMPILATION_CACHE_DIR`` or ``/tmp/jax_cache``).
+
+    TPU compiles through the pooled-device tunnel take minutes per jit;
+    every CLI entry point calls this so a recompile is paid once per
+    (program, shape), not once per process. Safe to call repeatedly."""
+    import os
+
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        path or os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_cache"),
+    )

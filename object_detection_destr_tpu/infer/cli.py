@@ -64,6 +64,9 @@ def get_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> list[dict]:
+    from .. import enable_persistent_jit_cache
+
+    enable_persistent_jit_cache()
     args = get_parser().parse_args(argv)
     size = args.image_size or (640 if args.model == "destr" else 300)
 

@@ -161,6 +161,9 @@ def evaluate_destr(config, checkpoint_name: str) -> dict:
 
 
 def main(argv=None):
+    from .. import enable_persistent_jit_cache
+
+    enable_persistent_jit_cache()
     parser = get_parser("destr")
     args = parser.parse_args(argv)
     config = config_from_args(args, "destr")

@@ -14,6 +14,9 @@ from .driver import train_destr
 
 
 def main(argv=None) -> dict:
+    from .. import enable_persistent_jit_cache
+
+    enable_persistent_jit_cache()
     args = get_parser("destr").parse_args(argv)
     config = config_from_args(args, "destr")
     return train_destr(config)

@@ -50,6 +50,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import object_detection_destr_tpu as _pkg
+
+_pkg.enable_persistent_jit_cache()
+
 from object_detection_destr_tpu.geometry.boxes import xyxy_to_cxcyhw
 from object_detection_destr_tpu.losses.criterion import set_criterion
 from object_detection_destr_tpu.models.destr.model import build_destr

@@ -45,6 +45,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+import object_detection_destr_tpu as _pkg
+
+_pkg.enable_persistent_jit_cache()
+
 from object_detection_destr_tpu.data.transforms import destr_eval_transform
 from object_detection_destr_tpu.losses.metrics import (
     CocoAveragePrecision,
