@@ -94,6 +94,7 @@ class DeviceCachedLoader:
     def load_state_dict(self, state: dict) -> None:
         self.epoch = int(state["epoch"])
         self._start_step = int(state["step"])
+        self._step = self._start_step  # keep state_dict() a fixed point
 
     def _epoch_order(self) -> np.ndarray:
         # identical stream to DetectionLoader._epoch_order

@@ -110,6 +110,7 @@ class DetectionLoader:
         self._pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
         self.epoch = 0
         self._start_step = 0
+        self._step = 0  # state_dict() must work before the first __iter__
         # with a mesh, the prefetch thread device_puts each batch (leading
         # axis sharded on 'data') so the host->device transfer overlaps the
         # previous step's compute instead of serializing before dispatch
@@ -130,6 +131,7 @@ class DetectionLoader:
     def load_state_dict(self, state: dict) -> None:
         self.epoch = int(state["epoch"])
         self._start_step = int(state["step"])
+        self._step = self._start_step  # keep state_dict() a fixed point
 
     # ---- iteration ------------------------------------------------------
     def _epoch_order(self) -> np.ndarray:

@@ -69,6 +69,20 @@ def test_loader_resume_replays_order():
     del first
 
 
+def test_loader_state_dict_before_iteration_and_fixed_point():
+    """state_dict() must work on a fresh loader (the r5 post-mortem tool
+    calls it before iterating) and be a fixed point through
+    load_state_dict — a restored loader reports the state it was given."""
+    ds = SyntheticDetection(num_samples=8, image_size=32)
+    loader = DetectionLoader(
+        ds, batch_size=2, canvas_size=32, max_targets=8, shuffle=True, seed=7,
+        prefetch=0,
+    )
+    assert loader.state_dict() == {"epoch": 0, "step": 0}
+    loader.load_state_dict({"epoch": 3, "step": 1})
+    assert loader.state_dict() == {"epoch": 3, "step": 1}
+
+
 def _fake_batch(rng, b=2, canvas=64, t=5):
     images = rng.integers(0, 255, size=(b, canvas, canvas, 3), dtype=np.uint8)
     boxes = np.stack(
