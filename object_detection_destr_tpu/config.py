@@ -122,6 +122,16 @@ class TrainConfig:
     # From-scratch DESTR at production scale diverges without it
     # (BASELINE.md r4 runs 3a/3c)
     lr_warmup_steps: int = 0
+    # exponential moving average of the params (0 = off, the reference
+    # behavior). When set, the drivers keep a per-step EMA copy (decay d:
+    # ema = d*ema + (1-d)*params), run a SECOND validation sweep on the EMA
+    # weights each epoch (tags Loss/valid_ema/*, Metric/ema_mAP), and save
+    # the best-EMA-val checkpoint as {save_as}_ema. The training trajectory
+    # is untouched — EMA reads params, never writes them. Motivation: the
+    # reference 11-point metric responds discontinuously to small logit
+    # shifts between adjacent epochs (BASELINE.md r5 val-noise study); EMA
+    # weights average that movement out.
+    ema_decay: float = 0.0
     coef_class_loss: float = 0.5  # SSD class/local blend
     grad_accum_steps: int = 1  # optax.MultiSteps; 1 = off
     # AdamW update layout: "auto" | "per-leaf" | "grouped" | "flat"

@@ -50,6 +50,11 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help="reject optimizer updates containing inf/NaN "
                         "(optax.apply_if_finite); value = max consecutive "
                         "rejections before erroring, 0 = off")
+    p.add_argument("--ema_decay", type=float, default=0.0,
+                   help="per-step parameter EMA decay (0 = off, the "
+                        "reference behavior). Adds an EMA validation sweep "
+                        "per epoch and a {save_as}_ema best checkpoint; "
+                        "does not affect the training trajectory")
     p.add_argument("--opt_layout", type=str, default="auto",
                    choices=["auto", "per-leaf", "grouped", "flat"],
                    help="AdamW update layout (train/optim.py): grouped "
@@ -171,6 +176,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         grad_accum_steps=args.grad_accum_steps,
         grad_clip_norm=getattr(args, "grad_clip_norm", 0.0),
         skip_nonfinite_updates=getattr(args, "skip_nonfinite", 0),
+        ema_decay=getattr(args, "ema_decay", 0.0),
         opt_layout=getattr(args, "opt_layout", "auto"),
         rng_impl=getattr(args, "rng_impl", "rbg"),
         image_size=getattr(args, "image_size", 640),

@@ -106,6 +106,26 @@ def _try_save(*args) -> None:
               "continuing — next epoch will retry", flush=True)
 
 
+def _make_ema(decay: float):
+    """(init, update) for a per-step parameter EMA (config.ema_decay).
+
+    ``init`` deep-copies the params on device (the train step DONATES the
+    state, so aliasing its buffers would leave the EMA reading freed
+    memory); ``update`` donates the previous EMA into the new one — one
+    fused elementwise pass, ~1 ms on 40M f32 params, off the training
+    trajectory entirely (reads params, never writes them)."""
+    import jax.numpy as jnp
+
+    init = jax.jit(lambda p: jax.tree.map(jnp.copy, p))
+    update = jax.jit(
+        lambda ema, p: jax.tree.map(
+            lambda e, x: e * decay + x.astype(e.dtype) * (1.0 - decay), ema, p
+        ),
+        donate_argnums=(0,),
+    )
+    return init, update
+
+
 def _make_loaders(config: Config, canvas: int, for_train_model: str, mesh=None):
     data = config.data
     num_classes = {"destr": 1, "ssd": config.ssd.num_cls}[for_train_model]
@@ -250,6 +270,40 @@ def train_destr(config: Config, mesh=None) -> dict:
     last_map = 0.0
     timer = StepTimer(cfg_t.batch_size)
     host_step = int(jax.device_get(state.step))  # one sync; counted on host after
+
+    ema_params = None
+    if cfg_t.ema_decay:
+        ema_init, ema_update = _make_ema(cfg_t.ema_decay)
+        ema_params = ema_init(state.params)  # resume seeds EMA from params
+        best_ema_val = np.inf
+
+    def _val_sweep(eval_state):
+        """One validation pass: (val_means, mAP, coco_mAP-or-None)."""
+        metric_state = metric.init_state()
+        if coco_metric is not None:
+            coco_metric.reset()
+        val_metrics: list = []
+        for raw in valid_loader:
+            batch = _device_batch(raw, eval_tf, mesh)
+            outputs, m = eval_step(eval_state, batch)
+            val_targets = {
+                "boxes": batch["boxes"],
+                "labels": batch["labels"],
+                "valid": batch["valid"],
+            }
+            metric_state = metric.update(metric_state, outputs, val_targets)
+            if coco_metric is not None:
+                coco_metric.update(outputs, val_targets)
+            val_metrics.append(m)
+        fetched = jax.device_get(val_metrics)
+        val_means = (
+            {k: float(np.mean([f[k] for f in fetched])) for k in fetched[0]}
+            if fetched
+            else {}
+        )
+        coco_val = coco_metric.compute() if coco_metric is not None else None
+        return val_means, metric.compute(metric_state), coco_val
+
     try:
         for epoch in range(cfg_t.epochs):
             t0 = time.time()
@@ -264,6 +318,8 @@ def train_destr(config: Config, mesh=None) -> dict:
                 step_key = jax.random.fold_in(aug_rng, host_step)
                 batch = _device_batch(raw, train_tf, mesh, step_key)
                 state, metrics = train_step(state, batch)
+                if ema_params is not None:
+                    ema_params = ema_update(ema_params, state.params)
                 host_step += 1
                 timer.step()
                 if cfg_t.profile_dir and epoch == 0 and step_in_epoch == 4:
@@ -278,34 +334,22 @@ def train_destr(config: Config, mesh=None) -> dict:
                 logger.scalar("Perf/images_per_sec", rate["images_per_sec"], host_step)
 
             # ---- validate ----
-            metric_state = metric.init_state()
-            if coco_metric is not None:
-                coco_metric.reset()
-            val_metrics: list = []
-            for raw in valid_loader:
-                batch = _device_batch(raw, eval_tf, mesh)
-                outputs, m = eval_step(state, batch)
-                val_targets = {
-                    "boxes": batch["boxes"],
-                    "labels": batch["labels"],
-                    "valid": batch["valid"],
-                }
-                metric_state = metric.update(metric_state, outputs, val_targets)
-                if coco_metric is not None:
-                    coco_metric.update(outputs, val_targets)
-                val_metrics.append(m)
-            fetched = jax.device_get(val_metrics)
-            val_means = (
-                {k: float(np.mean([f[k] for f in fetched])) for k in fetched[0]}
-                if fetched
-                else {}
-            )
-            last_map = metric.compute(metric_state)
+            val_means, last_map, coco_val = _val_sweep(state)
             for k, v in val_means.items():
                 logger.scalar(f"Loss/valid/{k}", v, host_step)
             logger.scalar("Metric/mAP", last_map, host_step)
-            if coco_metric is not None:
-                logger.scalar("Metric/coco_mAP", coco_metric.compute(), host_step)
+            if coco_val is not None:
+                logger.scalar("Metric/coco_mAP", coco_val, host_step)
+            ema_val_model = None
+            if ema_params is not None:
+                ema_state = state.replace(params=ema_params)
+                ema_means, ema_map, ema_coco = _val_sweep(ema_state)
+                for k, v in ema_means.items():
+                    logger.scalar(f"Loss/valid_ema/{k}", v, host_step)
+                logger.scalar("Metric/ema_mAP", ema_map, host_step)
+                if ema_coco is not None:
+                    logger.scalar("Metric/ema_coco_mAP", ema_coco, host_step)
+                ema_val_model = ema_means.get("loss_model", np.inf)
 
             # ---- divergence halt: never checkpoint NaN params
             if not _params_finite(state):
@@ -323,6 +367,15 @@ def train_destr(config: Config, mesh=None) -> dict:
                     train_loader.state_dict(),
                     best_val,
                 )
+            if ema_val_model is not None and ema_val_model < best_ema_val:
+                best_ema_val = ema_val_model
+                _try_save(
+                    cfg_t.checkpoint_dir,
+                    cfg_t.save_as + "_ema",
+                    state.replace(params=ema_params),
+                    train_loader.state_dict(),
+                    best_ema_val,
+                )
             _try_save(
                 cfg_t.checkpoint_dir,
                 cfg_t.save_as + "_last",
@@ -330,9 +383,14 @@ def train_destr(config: Config, mesh=None) -> dict:
                 train_loader.state_dict(),
                 best_val,
             )
+            ema_note = (
+                f" ema_val={ema_val_model:.4f} ema_mAP={ema_map:.4f}"
+                if ema_val_model is not None
+                else ""
+            )
             print(
                 f"epoch {epoch}: {time.time() - t0:.1f}s val_model={val_model:.4f} "
-                f"mAP={last_map:.4f}",
+                f"mAP={last_map:.4f}{ema_note}",
                 flush=True,
             )
     except KeyboardInterrupt:
@@ -392,6 +450,41 @@ def train_ssd(config: Config, mesh=None) -> dict:
     eval_tf = lambda im, bx, lb, vd: ssd_eval_transform(im, bx, lb, vd, out_size=out_size)
 
     host_step = int(jax.device_get(state.step))
+
+    ema_params = None
+    if cfg_t.ema_decay:
+        ema_init, ema_update = _make_ema(cfg_t.ema_decay)
+        ema_params = ema_init(state.params)  # resume seeds EMA from params
+        best_ema_val = np.inf
+
+    def _val_sweep(eval_state):
+        """One validation pass: (val_means, mAP)."""
+        from ..geometry.boxes import cxcyhw_to_xyxy
+
+        val_metrics = []
+        metric_state = metric.init_state()
+        for raw in valid_loader:
+            batch = _device_batch(raw, eval_tf, mesh)
+            _, m, detections = eval_step(eval_state, batch)
+            # SSD targets are cxcyhw; the metric compares in xyxy
+            metric_state = metric.update(
+                metric_state,
+                detections,
+                {
+                    "boxes": cxcyhw_to_xyxy(batch["boxes"]),
+                    "labels": batch["labels"],
+                    "valid": batch["valid"],
+                },
+            )
+            val_metrics.append(m)
+        fetched = jax.device_get(val_metrics)
+        val_means = (
+            {k: float(np.mean([f[k] for f in fetched])) for k in fetched[0]}
+            if fetched
+            else {}
+        )
+        return val_means, metric.compute(metric_state)
+
     try:
         for epoch in range(cfg_t.epochs):
             t0 = time.time()
@@ -399,40 +492,25 @@ def train_ssd(config: Config, mesh=None) -> dict:
                 step_key = jax.random.fold_in(aug_rng, host_step)
                 batch = _device_batch(raw, train_tf, mesh, step_key)
                 state, metrics = train_step(state, batch)
+                if ema_params is not None:
+                    ema_params = ema_update(ema_params, state.params)
                 host_step += 1
                 logger.accumulate(host_step, metrics)
                 if (step_in_epoch + 1) % cfg_t.log_interval == 0:
                     logger.flush("train")
             logger.flush("train")
 
-            val_metrics = []
-            metric_state = metric.init_state()
-            for raw in valid_loader:
-                batch = _device_batch(raw, eval_tf, mesh)
-                _, m, detections = eval_step(state, batch)
-                # SSD targets are cxcyhw; the metric compares in xyxy
-                from ..geometry.boxes import cxcyhw_to_xyxy
-
-                metric_state = metric.update(
-                    metric_state,
-                    detections,
-                    {
-                        "boxes": cxcyhw_to_xyxy(batch["boxes"]),
-                        "labels": batch["labels"],
-                        "valid": batch["valid"],
-                    },
-                )
-                val_metrics.append(m)
-            fetched = jax.device_get(val_metrics)
-            val_means = (
-                {k: float(np.mean([f[k] for f in fetched])) for k in fetched[0]}
-                if fetched
-                else {}
-            )
-            val_map = metric.compute(metric_state)
+            val_means, val_map = _val_sweep(state)
             for k, v in val_means.items():
                 logger.scalar(f"Loss/valid/{k}", v, host_step)
             logger.scalar("Metric/mAP", val_map, host_step)
+            ema_val_loss = None
+            if ema_params is not None:
+                ema_means, ema_map = _val_sweep(state.replace(params=ema_params))
+                for k, v in ema_means.items():
+                    logger.scalar(f"Loss/valid_ema/{k}", v, host_step)
+                logger.scalar("Metric/ema_mAP", ema_map, host_step)
+                ema_val_loss = ema_means.get("loss", np.inf)
 
             if not _params_finite(state):
                 _halt_diverged(cfg_t.save_as, epoch)
@@ -445,13 +523,25 @@ def train_ssd(config: Config, mesh=None) -> dict:
                     cfg_t.checkpoint_dir, cfg_t.save_as, state,
                     train_loader.state_dict(), best_val,
                 )
+            if ema_val_loss is not None and ema_val_loss < best_ema_val:
+                best_ema_val = ema_val_loss
+                _try_save(
+                    cfg_t.checkpoint_dir, cfg_t.save_as + "_ema",
+                    state.replace(params=ema_params),
+                    train_loader.state_dict(), best_ema_val,
+                )
             _try_save(
                 cfg_t.checkpoint_dir, cfg_t.save_as + "_last", state,
                 train_loader.state_dict(), best_val,
             )
+            ema_note = (
+                f" ema_val={ema_val_loss:.4f} ema_mAP={ema_map:.4f}"
+                if ema_val_loss is not None
+                else ""
+            )
             print(
                 f"epoch {epoch}: {time.time() - t0:.1f}s val={val_loss:.4f} "
-                f"mAP={val_map:.4f}",
+                f"mAP={val_map:.4f}{ema_note}",
                 flush=True,
             )
     except KeyboardInterrupt:

@@ -455,3 +455,80 @@ def test_driver_halts_on_divergence_without_overwriting_checkpoints(
     result2 = train_destr(config2)
     assert np.isfinite(result2["best_val"])
     assert int(jax.device_get(result2["state"].step)) == 4
+
+
+def test_ema_update_matches_manual_recurrence():
+    from object_detection_destr_tpu.train.driver import _make_ema
+
+    decay = 0.9
+    init, update = _make_ema(decay)
+    params = {"a": jnp.arange(4.0), "b": {"w": jnp.ones((2, 2))}}
+    ema = init(params)
+    # init is a deep copy, not an alias
+    assert ema["a"] is not params["a"]
+    np.testing.assert_allclose(np.asarray(ema["a"]), np.arange(4.0))
+    p2 = jax.tree.map(lambda x: x * 3.0, params)
+    ema = update(ema, p2)
+    expect = {  # d*ema + (1-d)*p2
+        "a": 0.9 * np.arange(4.0) + 0.1 * 3.0 * np.arange(4.0),
+        "w": 0.9 * np.ones((2, 2)) + 0.1 * 3.0 * np.ones((2, 2)),
+    }
+    np.testing.assert_allclose(np.asarray(ema["a"]), expect["a"], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(ema["b"]["w"]), expect["w"], rtol=1e-6)
+
+
+def test_destr_driver_ema_sweep_and_checkpoint(tmp_path):
+    """--ema_decay: the driver logs EMA val metrics, saves {save_as}_ema,
+    and the training trajectory is untouched (same raw losses as a run
+    without EMA)."""
+    import json
+
+    from object_detection_destr_tpu.train.driver import train_destr
+
+    def run(subdir, ema):
+        config = Config(
+            destr=TINY_DESTR,
+            train=TrainConfig(
+                batch_size=2,
+                image_size=64,
+                epochs=1,
+                lr=1e-3,
+                lr_backbone=0.0,
+                ema_decay=ema,
+                checkpoint_dir=str(tmp_path / subdir / "ckpt"),
+                log_dir=str(tmp_path / subdir / "runs"),
+                log_interval=2,
+            ),
+            data=DataConfig(
+                dataset="synthetic",
+                image_size=80,
+                num_train_samples=4,
+                num_valid_samples=2,
+                augment_factor=1,
+                max_targets=8,
+            ),
+        )
+        result = train_destr(config)
+        records = [
+            json.loads(l)
+            for l in open(tmp_path / subdir / "runs" / "metrics.jsonl")
+        ]
+        return result, records
+
+    result, records = run("ema", ema=0.5)
+    tags = {r["tag"] for r in records if "tag" in r}
+    assert "Metric/ema_mAP" in tags
+    assert any(t.startswith("Loss/valid_ema/") for t in tags)
+    assert os.path.exists(str(tmp_path / "ema" / "ckpt" / "model_weights_ema"))
+
+    # trajectory invariance: raw val losses identical with EMA off
+    result0, records0 = run("noema", ema=0.0)
+    pick = lambda recs: {
+        r["tag"]: r["value"]
+        for r in recs
+        if r.get("tag", "").startswith("Loss/valid/")
+    }
+    v1, v0 = pick(records), pick(records0)
+    assert v1.keys() == v0.keys() and v1
+    for k in v1:
+        np.testing.assert_allclose(v1[k], v0[k], rtol=1e-6, err_msg=k)
