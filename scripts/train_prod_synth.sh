@@ -28,6 +28,16 @@
 # poisoning the weights. The backbone trains from scratch — no ImageNet
 # weights exist in this environment.
 #
+# r5: --lr_backbone 1e-5 (0.1x the main lr — the reference's own DETR-family
+# convention). At lr_backbone 1e-4 the run deterministically diverges at
+# ~epoch 52: a backbone-origin edge-of-stability runaway, root-caused by
+# per-step replay in BASELINE.md "r5: the epoch-52 divergence root-caused"
+# (tools/postmortem_divergence.py). The same window replayed at
+# lr_backbone 1e-5 is stable; the detection losses/matcher are not involved.
+# --ema_decay 0.999 keeps an EMA parameter copy whose val sweep/checkpoint
+# smooths the reference metric's discontinuous response to small logit
+# shifts (BASELINE.md r5 val-noise study).
+#
 # Usage: scripts/train_prod_synth.sh [extra flags...]
 #   e.g. scripts/train_prod_synth.sh --epochs 2 --resume --resume_from prod_r4_ep30
 set -euo pipefail
@@ -38,8 +48,8 @@ exec python -m object_detection_destr_tpu.train.train \
     --num_train_samples 2048 --num_valid_samples 256 --augment_factor 1 \
     --image_size 640 --batch_size 16 --compute_dtype bfloat16 \
     --num_encoder_blocks 6 --num_decoder_blocks 6 --top_k 300 \
-    --epochs 120 --lr 1e-4 --lr_backbone 1e-4 --lr_drop 90 \
-    --lr_warmup_steps 1000 \
+    --epochs 120 --lr 1e-4 --lr_backbone 1e-5 --lr_drop 90 \
+    --lr_warmup_steps 1000 --ema_decay 0.999 \
     --class_norm boxes --set_cost_class 1 --set_cost_bbox 2.5 \
     --set_cost_ciou 1 --grad_clip_norm 0.1 --skip_nonfinite 100 \
     --device_cache --coco_eval --save_as prod_r4 \
