@@ -62,13 +62,22 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _plan(sq: int, sk: int, block_q: int, block_k: int):
+def _plan(sq: int, sk: int, block_q: int, block_k: int, itemsize: int = 2):
     """Tile sizes + padded lengths. bq is sublane-aligned (8), bk lane-aligned
     (128); both clip to the (padded) sequence so short shapes stay one tile.
     A q axis a bit over the block cap (e.g. the decoder's merged cls+reg
     cross-attention, sq=2*top_k=600) would round up to 2 tiles (1024 rows of
     work for 600 real ones); up to 1.5x the cap we widen bq to keep it one
-    tile instead — strictly fewer padded rows."""
+    tile instead — strictly fewer padded rows.
+
+    ``itemsize`` is the activation element size: the default block caps are
+    probed against the 16 MB scoped-VMEM budget in bfloat16 (BASELINE.md r4
+    block-plan sweep); float32 q/k/v tiles are 2x those bytes, so caps halve
+    (measured: the 640px/top_k-300 production decoder bwd at f32 overflows
+    the budget by 164 KB under the bf16 plan). bf16/f16 plans are untouched."""
+    if itemsize >= 4:
+        block_q = max(block_q // 2, 128)
+        block_k = max(block_k // 2, 128)
     one_q = _round_up(sq, 8)
     bq = min(block_q, one_q)
     if bq < one_q <= block_q + block_q // 2:
@@ -77,7 +86,8 @@ def _plan(sq: int, sk: int, block_q: int, block_k: int):
     return bq, bk, _round_up(sq, bq), _round_up(sk, bk)
 
 
-def _plan_packed(sq: int, sk: int, block_q: int, block_k: int):
+def _plan_packed(sq: int, sk: int, block_q: int, block_k: int,
+                 itemsize: int = 2):
     """Block plan for the head-packed kernels. For long sequences (the
     7056-token dilated-C5 encoder, BASELINE.json config 4) wider k blocks
     amortize the per-k-tile softmax-stat updates: bk 512 -> 1024 measured
@@ -86,7 +96,7 @@ def _plan_packed(sq: int, sk: int, block_q: int, block_k: int):
     (bq, h*LANES) f32 stat scratches scale with bq)."""
     if _round_up(sk, 128) >= 4096 and block_q == 512 and block_k == 512:
         block_q, block_k = 256, 1024
-    return _plan(sq, sk, block_q, block_k)
+    return _plan(sq, sk, block_q, block_k, itemsize)
 
 
 def _drop_threshold(rate: float) -> jnp.ndarray:
@@ -247,7 +257,8 @@ def _fwd_impl(
         scale = 1.0 / (d**0.5)
     drop_mode, interpret = _resolve(dropout_rate, dropout_seed, interpret)
 
-    bq, bk, sq_pad, sk_pad = _plan(sq, sk, block_q, block_k)
+    bq, bk, sq_pad, sk_pad = _plan(sq, sk, block_q, block_k,
+                                   query.dtype.itemsize)
     n_q, n_k = sq_pad // bq, sk_pad // bk
     qf, kf, vf, mask_bh = _prep_inputs(
         query, key, value, key_valid_mask, bq, bk, sq_pad, sk_pad
@@ -434,7 +445,8 @@ def _bwd_impl(
         scale = 1.0 / (d**0.5)
     drop_mode, interpret = _resolve(dropout_rate, dropout_seed, interpret)
 
-    bq, bk, sq_pad, sk_pad = _plan(sq, sk, block_q, block_k)
+    bq, bk, sq_pad, sk_pad = _plan(sq, sk, block_q, block_k,
+                                   query.dtype.itemsize)
     n_q, n_k = sq_pad // bq, sk_pad // bk
     qf, kf, vf, mask_bh = _prep_inputs(
         query, key, value, key_valid_mask, bq, bk, sq_pad, sk_pad
@@ -708,7 +720,8 @@ def _fwd_impl_packed(
         scale = 1.0 / (d**0.5)
     drop_mode, interpret = _resolve(dropout_rate, dropout_seed, interpret)
 
-    bq, bk, sq_pad, sk_pad = _plan_packed(sq, sk, block_q, block_k)
+    bq, bk, sq_pad, sk_pad = _plan_packed(sq, sk, block_q, block_k,
+                                          query.dtype.itemsize)
     n_q, n_k = sq_pad // bq, sk_pad // bk
     qf, kf, vf, mask3 = _prep_inputs_packed(
         query, key, value, key_valid_mask, sq_pad, sk_pad
@@ -1010,7 +1023,8 @@ def _bwd_impl_packed(
         scale = 1.0 / (d**0.5)
     drop_mode, interpret = _resolve(dropout_rate, dropout_seed, interpret)
 
-    bq, bk, sq_pad, sk_pad = _plan_packed(sq, sk, block_q, block_k)
+    bq, bk, sq_pad, sk_pad = _plan_packed(sq, sk, block_q, block_k,
+                                          query.dtype.itemsize)
     n_q, n_k = sq_pad // bq, sk_pad // bk
     qf, kf, vf, mask3 = _prep_inputs_packed(
         query, key, value, key_valid_mask, sq_pad, sk_pad
