@@ -137,6 +137,11 @@ class TrainConfig:
     # AdamW update layout: "auto" | "per-leaf" | "grouped" | "flat"
     # (train/optim.py::build_optimizer — grouped stacks same-shaped leaves)
     opt_layout: str = "auto"
+    # Adam moment storage dtype: "float32" (default) | "bfloat16".
+    # bf16 cuts optimizer HBM traffic 28 -> 20 B/param (the r5 floor
+    # analysis' named lever); EXPERIMENTAL — see
+    # train/optim.py::scale_by_adam_compact for the nu-rounding caveat.
+    moment_dtype: str = "float32"
     augment_factor: int = 5
     resume: bool = False
     resume_from: str = "model_weights"

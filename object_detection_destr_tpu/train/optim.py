@@ -23,7 +23,13 @@ import optax
 from flax import traverse_util
 from jax.flatten_util import ravel_pytree
 
-__all__ = ["build_optimizer", "param_labels", "fused_adamw", "grouped_adamw"]
+__all__ = [
+    "build_optimizer",
+    "param_labels",
+    "fused_adamw",
+    "grouped_adamw",
+    "scale_by_adam_compact",
+]
 
 _TRAINABLE_BACKBONE_PREFIXES = ("layer2", "layer3", "layer4")
 
@@ -123,6 +129,87 @@ def fused_adamw(
     return optax.GradientTransformation(init_fn, update_fn)
 
 
+class ScaleByAdamCompactState(NamedTuple):
+    count: jnp.ndarray  # () int32
+    mu: Any  # first moments, stored in moment_dtype
+    nu: Any  # second moments, stored in moment_dtype
+
+
+def scale_by_adam_compact(
+    b1: float = 0.9,
+    b2: float = 0.999,
+    eps: float = 1e-8,
+    moment_dtype: Any = jnp.bfloat16,
+) -> optax.GradientTransformation:
+    """Adam scaling with BOTH moments stored in ``moment_dtype`` (read-upcast,
+    f32 compute, write-round) — optax only offers ``mu_dtype``.
+
+    Motivation is the optimizer HBM floor (BASELINE.md r5): AdamW traffic at
+    f32 moments is 28 B/param (1.86 ms/step on the 54.5M-param production
+    DESTR at 819 GB/s); bf16 moments cut it to 20 B/param. bf16 keeps the f32
+    exponent, so there is no range cliff — the cost is mantissa rounding on
+    the moment EMAs. Caveat, documented not hidden: with (1 - b2) = 1e-3
+    below bf16's 2^-9 relative quantum, steady-state ``nu`` increments can
+    round away (stale second moment). Round-to-nearest makes the error
+    zero-mean in practice, but this is an EXPERIMENTAL opt-in
+    (``--moment_dtype bfloat16``), A/B'd for step time and short-horizon
+    convergence in BASELINE.md, and NOT the production-recipe default.
+    """
+    moment_dtype = jnp.dtype(moment_dtype)
+
+    def init_fn(params):
+        zeros = lambda t: jax.tree.map(
+            lambda p: jnp.zeros(p.shape, moment_dtype), t
+        )
+        return ScaleByAdamCompactState(
+            count=jnp.zeros((), jnp.int32), mu=zeros(params), nu=zeros(params)
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        count = state.count + 1
+        c = count.astype(jnp.float32)
+        bc1 = 1.0 - b1**c
+        bc2 = 1.0 - b2**c
+
+        def one(g, m, v):
+            g = g.astype(jnp.float32)
+            m32 = m.astype(jnp.float32) * b1 + g * (1.0 - b1)
+            v32 = v.astype(jnp.float32) * b2 + g * g * (1.0 - b2)
+            out = (m32 / bc1) / (jnp.sqrt(v32 / bc2) + eps)
+            return out, m32.astype(moment_dtype), v32.astype(moment_dtype)
+
+        # one pass per leaf producing (update, mu, nu) so XLA fuses the
+        # whole read->compute->round chain; unzip through the treedef
+        # (optax.masked's MaskedNode leaves flatten to nothing, so the
+        # zip stays aligned under multi_transform)
+        flat_u, treedef = jax.tree.flatten(updates)
+        res = [
+            one(g, m, v)
+            for g, m, v in zip(
+                flat_u, jax.tree.leaves(state.mu), jax.tree.leaves(state.nu)
+            )
+        ]
+        return treedef.unflatten([r[0] for r in res]), ScaleByAdamCompactState(
+            count=count,
+            mu=treedef.unflatten([r[1] for r in res]),
+            nu=treedef.unflatten([r[2] for r in res]),
+        )
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def _adamw_leaf(lr, weight_decay: float, moment_dtype) -> optax.GradientTransformation:
+    """optax.adamw's chain with the compact-moment scaler swapped in."""
+    if moment_dtype is None:
+        return optax.adamw(lr, weight_decay=weight_decay)
+    return optax.chain(
+        scale_by_adam_compact(moment_dtype=moment_dtype),
+        optax.add_decayed_weights(weight_decay),
+        optax.scale_by_learning_rate(lr),
+    )
+
+
 class GroupedAdamWState(NamedTuple):
     count: jnp.ndarray  # () int32
     m: tuple  # per shape-group stacked first moments, (n_i, *shape_i) f32
@@ -144,6 +231,7 @@ def grouped_adamw(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    moment_dtype: Any = None,
 ) -> optax.GradientTransformation:
     """AdamW over shape-grouped stacked leaves — the TPU-friendly middle
     ground between the per-leaf ``multi_transform`` (hundreds of tiny
@@ -168,6 +256,7 @@ def grouped_adamw(
     """
     bb_frozen = (not callable(lr_backbone)) and lr_backbone <= 0
     lr_specs = {"main": lr, "backbone": (0.0 if bb_frozen else lr_backbone)}
+    m_dtype = jnp.dtype(moment_dtype) if moment_dtype is not None else jnp.float32
 
     labels = param_labels(params)
     leaves, treedef = jax.tree.flatten(params)
@@ -187,7 +276,7 @@ def grouped_adamw(
             # m and v must be DISTINCT buffers: the train step donates the
             # whole state, and aliased leaves trip XLA's double-donation check
             return tuple(
-                jnp.zeros((len(idxs),) + p_leaves[idxs[0]].shape, jnp.float32)
+                jnp.zeros((len(idxs),) + p_leaves[idxs[0]].shape, m_dtype)
                 for _, idxs in group_list
             )
 
@@ -207,15 +296,15 @@ def grouped_adamw(
         for gi, ((lab, _, _), idxs) in enumerate(group_list):
             g = jnp.stack([g_leaves[i] for i in idxs]).astype(jnp.float32)
             p = jnp.stack([p_leaves[i] for i in idxs]).astype(jnp.float32)
-            m = state.m[gi] * b1 + g * (1.0 - b1)
-            v = state.v[gi] * b2 + g * g * (1.0 - b2)
+            m = state.m[gi].astype(jnp.float32) * b1 + g * (1.0 - b1)
+            v = state.v[gi].astype(jnp.float32) * b2 + g * g * (1.0 - b2)
             lr_t = _lr_at(lr_specs[lab], state.count)
             upd = -lr_t * ((m / bc1) / (jnp.sqrt(v / bc2) + eps) + weight_decay * p)
             upd = upd.astype(p_leaves[idxs[0]].dtype)
             for j, i in enumerate(idxs):
                 upd_leaves[i] = upd[j]
-            new_m.append(m)
-            new_v.append(v)
+            new_m.append(m.astype(m_dtype))
+            new_v.append(v.astype(m_dtype))
         return treedef.unflatten(upd_leaves), GroupedAdamWState(
             count=count, m=tuple(new_m), v=tuple(new_v)
         )
@@ -232,6 +321,7 @@ def build_optimizer(
     grad_accum_steps: int = 1,
     skip_nonfinite: int = 0,
     fused: bool | str = "auto",
+    moment_dtype: Any = None,
 ) -> optax.GradientTransformation:
     """AdamW with per-group LRs; optional global-norm clip and gradient
     accumulation (``optax.MultiSteps`` — the reference has none, SURVEY.md
@@ -250,11 +340,19 @@ def build_optimizer(
       future jaxlibs where flattening is layout-free; do not default to it.
     - ``"auto"`` — currently the per-leaf path (grouped flips on once its
       TPU measurement lands; see BASELINE.md r3).
+
+    ``moment_dtype`` (None = f32) stores the Adam moments in a narrower
+    dtype — see :func:`scale_by_adam_compact` for the bandwidth math and
+    the nu-quantization caveat. Experimental opt-in; ignored by the flat
+    layout (whose lr_vec layout already pays a relayout that dwarfs it).
     """
     if fused == "auto":
         fused = False
     if fused == "grouped":
-        tx = grouped_adamw(params, lr, lr_backbone, weight_decay=weight_decay)
+        tx = grouped_adamw(
+            params, lr, lr_backbone, weight_decay=weight_decay,
+            moment_dtype=moment_dtype,
+        )
     elif fused:
         if callable(lr) or callable(lr_backbone):
             raise ValueError(
@@ -265,9 +363,9 @@ def build_optimizer(
         tx = fused_adamw(params, lr, lr_backbone, weight_decay=weight_decay)
     else:
         transforms = {
-            "main": optax.adamw(lr, weight_decay=weight_decay),
+            "main": _adamw_leaf(lr, weight_decay, moment_dtype),
             "backbone": (
-                optax.adamw(lr_backbone, weight_decay=weight_decay)
+                _adamw_leaf(lr_backbone, weight_decay, moment_dtype)
                 # optax schedules (callables) are accepted like floats
                 if callable(lr_backbone) or lr_backbone > 0
                 else optax.set_to_zero()

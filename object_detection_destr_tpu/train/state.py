@@ -101,6 +101,11 @@ def _init_state(
         fused={"per-leaf": False, "grouped": "grouped", "flat": True}.get(
             getattr(train_cfg, "opt_layout", "auto"), "auto"
         ),
+        moment_dtype=(
+            None
+            if getattr(train_cfg, "moment_dtype", "float32") == "float32"
+            else getattr(train_cfg, "moment_dtype")
+        ),
     )
     return (
         TrainState(

@@ -250,6 +250,103 @@ def test_fused_update_under_jit_and_donation():
         assert np.all(np.isfinite(np.asarray(leaf)))
 
 
+def test_compact_f32_moments_match_optax_exactly():
+    """scale_by_adam_compact at moment_dtype=f32 is the SAME math as
+    optax's scale_by_adam chain (the builder maps 'float32' to the plain
+    optax path, so drive the compact transform directly): pins the
+    re-derived math before narrowing the storage dtype."""
+    import optax
+
+    from object_detection_destr_tpu.train.optim import scale_by_adam_compact
+
+    rng = np.random.default_rng(11)
+    params = _toy_params(rng)
+    grads_seq = [
+        jax.tree.map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params
+        )
+        for _ in range(4)
+    ]
+    ref_tx = optax.chain(
+        optax.scale_by_adam(),
+        optax.add_decayed_weights(0.01),
+        optax.scale_by_learning_rate(1e-3),
+    )
+    cmp_tx = optax.chain(
+        scale_by_adam_compact(moment_dtype=jnp.float32),
+        optax.add_decayed_weights(0.01),
+        optax.scale_by_learning_rate(1e-3),
+    )
+    ref = _run(ref_tx, params, grads_seq)
+    cmp_ = _run(cmp_tx, params, grads_seq)
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(cmp_)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6, rtol=1e-6)
+
+
+def test_bf16_moments_close_and_stored_narrow():
+    """--moment_dtype bfloat16: per-step updates stay within bf16 rounding
+    of the f32-moment path, moments are STORED in bf16 (the HBM saving is
+    real, not a cast-on-read illusion), and frozen leaves never move."""
+    rng = np.random.default_rng(12)
+    params = _toy_params(rng)
+    tx32 = build_optimizer(params, lr=1e-3, lr_backbone=1e-4)
+    tx16 = build_optimizer(
+        params, lr=1e-3, lr_backbone=1e-4, moment_dtype="bfloat16"
+    )
+    s32, s16 = tx32.init(params), tx16.init(params)
+
+    moment_dtypes = {
+        str(l.dtype)
+        for l in jax.tree.leaves(s16)
+        if hasattr(l, "dtype") and l.ndim > 0
+    }
+    assert "bfloat16" in moment_dtypes, f"moments not narrowed: {moment_dtypes}"
+
+    labels = jax.tree.leaves(param_labels(params))
+    p32 = p16 = params
+    for i in range(4):
+        grads = jax.tree.map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params
+        )
+        u32, s32 = tx32.update(grads, s32, p32)
+        u16, s16 = tx16.update(grads, s16, p16)
+        for a, b, lab in zip(jax.tree.leaves(u32), jax.tree.leaves(u16), labels):
+            a, b = np.asarray(a), np.asarray(b)
+            if lab == "frozen":
+                assert np.all(b == 0.0)
+            else:
+                # update magnitude ~lr; bf16 moment rounding perturbs the
+                # adam term by ~2^-8 relative
+                np.testing.assert_allclose(a, b, rtol=0.05, atol=2e-5)
+        p32 = jax.tree.map(lambda p, u: p + u, p32, u32)
+        p16 = jax.tree.map(lambda p, u: p + u, p16, u16)
+
+
+def test_grouped_bf16_moments_close():
+    rng = np.random.default_rng(13)
+    params = _blocky_params(rng)
+    grads_seq = [
+        jax.tree.map(
+            lambda p: jnp.asarray(rng.normal(size=p.shape), jnp.float32), params
+        )
+        for _ in range(3)
+    ]
+    ref = _run(
+        build_optimizer(params, lr=1e-3, lr_backbone=1e-4, fused="grouped"),
+        params, grads_seq,
+    )
+    grp16 = _run(
+        build_optimizer(
+            params, lr=1e-3, lr_backbone=1e-4, fused="grouped",
+            moment_dtype="bfloat16",
+        ),
+        params, grads_seq,
+    )
+    for a, b in zip(jax.tree.leaves(ref), jax.tree.leaves(grp16)):
+        a, b = np.asarray(a), np.asarray(b)
+        np.testing.assert_allclose(a, b, rtol=0.05, atol=1e-4)
+
+
 def test_skip_nonfinite_rejects_nan_update():
     """skip_nonfinite: an inf/NaN gradient step is a no-op (params stay
     finite and unchanged); the next finite step applies normally."""
