@@ -17,7 +17,9 @@ BENCH_MODE=train|infer|eval (eval = DESTR fwd + matching/losses, the val
 sweep's step), BENCH_MODEL=destr|ssd, BENCH_BACKBONE=resnet50|resnet101,
 BENCH_DILATION=1, BENCH_LETTERBOX=1 (DESTR: mixed-aspect pixel-valid masks
 through the model — the r4 aspect-preserving eval default; REFCOMPAT
-"letterbox eval geometry"), BENCH_EXTRA_BATCH (default 32; 0 disables the
+"letterbox eval geometry"), BENCH_MOMENT_DTYPE=bfloat16 (narrow Adam
+moment storage, train/optim.py::scale_by_adam_compact — the r5 optimizer
+HBM-floor A/B), BENCH_EXTRA_BATCH (default 32; 0 disables the
 companion measurement).
 
 The default config additionally measures a b32 window (device time as well)
@@ -163,7 +165,13 @@ def main() -> None:
     from object_detection_destr_tpu.config import DestrConfig, SSDConfig, TrainConfig
 
     rng = np.random.default_rng(0)
-    train_cfg = TrainConfig(batch_size=BATCH, image_size=IMAGE)
+    train_cfg = TrainConfig(
+        batch_size=BATCH,
+        image_size=IMAGE,
+        # A/B hook for the optimizer-moment storage dtype (BASELINE.md r5
+        # optimizer HBM floor); default float32 = the recipe of record
+        moment_dtype=os.environ.get("BENCH_MOMENT_DTYPE", "float32"),
+    )
 
     if MODEL == "ssd":
         from object_detection_destr_tpu.models.ssd.model import build_ssd
