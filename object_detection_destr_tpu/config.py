@@ -132,6 +132,21 @@ class TrainConfig:
     # shifts between adjacent epochs (BASELINE.md r5 val-noise study); EMA
     # weights average that movement out.
     ema_decay: float = 0.0
+    # one-dispatch epochs (train/epoch_scan.py): with device_cache, compile
+    # gather -> augment -> train_step -> EMA for the WHOLE epoch into a
+    # single lax.scan program — one host->device dispatch per epoch instead
+    # of one per step. Single-device it replays the per-step path's batch
+    # order, augmentation key stream, and step math exactly; it exists
+    # because on a tunneled/pooled chip the per-step dispatch RTT (~0.3-1 s)
+    # dwarfs the device step (~25 ms). Requires device_cache; ignored (with
+    # a warning) without it.
+    epoch_scan: bool = False
+    # run the validation sweep every N epochs (1 = reference behavior,
+    # train.py:59-119). The final epoch always validates; best-checkpoint
+    # selection sees only validated epochs. Long production runs on a
+    # relay-attached chip spend more wall time in the per-batch val sweep
+    # than in scanned training epochs — N>1 rebalances that.
+    val_interval: int = 1
     coef_class_loss: float = 0.5  # SSD class/local blend
     grad_accum_steps: int = 1  # optax.MultiSteps; 1 = off
     # AdamW update layout: "auto" | "per-leaf" | "grouped" | "flat"

@@ -104,6 +104,43 @@ class DeviceCachedLoader:
             rng.shuffle(order)
         return order
 
+    # ---- scanned-epoch surface (train/epoch_scan.py) --------------------
+    @property
+    def data(self) -> dict:
+        """The committed device-resident dataset arrays (read-only)."""
+        return self._data
+
+    def epoch_index_matrix(self) -> "tuple[int, np.ndarray]":
+        """Peek this epoch's batch order as one rectangular index matrix.
+
+        Returns ``(start_step, idx)`` with ``idx`` of shape
+        ``(n_batches - start_step, batch_size)`` int32 base-dataset indices —
+        the exact batches ``__iter__`` would yield (same ``(seed, epoch)``
+        Philox stream), in one array so a ``lax.scan`` can consume the whole
+        epoch. Does NOT advance bookkeeping: call :meth:`advance_epoch`
+        after the scanned epoch completes, so an interrupt mid-epoch leaves
+        the loader state consistent with the (pre-epoch) model state.
+        """
+        if not self.drop_last and (self.num_samples % self.batch_size):
+            raise ValueError(
+                "epoch_scan needs rectangular batches: enable drop_last or "
+                "size the dataset divisibly by batch_size"
+            )
+        base_n = len(self.base.dataset)
+        order = self._epoch_order() % base_n
+        n_batches = len(self)
+        start = self._start_step
+        idx = order[start * self.batch_size : n_batches * self.batch_size]
+        return start, idx.reshape(n_batches - start, self.batch_size).astype(
+            np.int32
+        )
+
+    def advance_epoch(self) -> None:
+        """Commit the bookkeeping for one completed scanned epoch."""
+        self._start_step = 0
+        self._step = 0
+        self.epoch += 1
+
     def __iter__(self) -> Iterator[dict]:
         import jax.numpy as jnp
 

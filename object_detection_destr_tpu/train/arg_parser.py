@@ -91,6 +91,15 @@ def _common(p: argparse.ArgumentParser) -> None:
                         "device HBM (uint8 canvases, ~1.35 MB per 672px "
                         "image); removes the per-step host feed for sets "
                         "that fit memory")
+    p.add_argument("--epoch_scan", action="store_true",
+                   help="compile each training epoch into ONE lax.scan "
+                        "program (requires --device_cache): one dispatch "
+                        "per epoch instead of per step; identical math, "
+                        "see train/epoch_scan.py")
+    p.add_argument("--val_interval", type=int, default=1,
+                   help="run the validation sweep every N epochs "
+                        "(1 = reference behavior; the final epoch always "
+                        "validates)")
 
 
 def get_parser(model_name: str = "destr") -> argparse.ArgumentParser:
@@ -184,6 +193,8 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         ema_decay=getattr(args, "ema_decay", 0.0),
         opt_layout=getattr(args, "opt_layout", "auto"),
         moment_dtype=getattr(args, "moment_dtype", "float32"),
+        epoch_scan=getattr(args, "epoch_scan", False),
+        val_interval=getattr(args, "val_interval", 1),
         rng_impl=getattr(args, "rng_impl", "rbg"),
         image_size=getattr(args, "image_size", 640),
         letterbox=getattr(args, "letterbox", False),

@@ -22,6 +22,7 @@ import time
 from typing import Callable
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import Config
@@ -266,6 +267,23 @@ def train_destr(config: Config, mesh=None) -> dict:
     eval_tf = lambda im, bx, lb, vd, content=None: destr_eval_transform(
         im, bx, lb, vd, content, resize_to=canvas, out_size=out_size
     )
+    epoch_runner = None
+    if cfg_t.epoch_scan and not cfg_t.profile_dir:  # profiling needs per-step
+        if not config.data.device_cache:
+            print("epoch_scan ignored: requires --device_cache", flush=True)
+        else:
+            from .epoch_scan import make_epoch_runner
+
+            epoch_runner = make_epoch_runner(
+                make_destr_train_step(model, tx, cfg_t, mesh=step_mesh,
+                                      wrap=False),
+                lambda b, key: destr_train_transform(
+                    b["images"], b["boxes"], b["labels"], b["valid"], key,
+                    b.get("content_hw"), out_size=out_size,
+                ),
+                ema_decay=cfg_t.ema_decay or None,
+                mesh=step_mesh,
+            )
 
     last_map = 0.0
     timer = StepTimer(cfg_t.batch_size)
@@ -310,46 +328,74 @@ def train_destr(config: Config, mesh=None) -> dict:
             # ---- train ----
             metrics = None
             timer.start()
-            for step_in_epoch, raw in enumerate(train_loader):
-                if cfg_t.profile_dir and epoch == 0 and step_in_epoch == 2:
-                    jax.profiler.start_trace(cfg_t.profile_dir)
-                # host-side step counter: int(state.step) would force a
-                # device sync (a full tunnel RTT) every iteration
-                step_key = jax.random.fold_in(aug_rng, host_step)
-                batch = _device_batch(raw, train_tf, mesh, step_key)
-                state, metrics = train_step(state, batch)
-                if ema_params is not None:
-                    ema_params = ema_update(ema_params, state.params)
-                host_step += 1
-                timer.step()
-                if cfg_t.profile_dir and epoch == 0 and step_in_epoch == 4:
-                    jax.block_until_ready(metrics)
-                    jax.profiler.stop_trace()
-                logger.accumulate(host_step, metrics)
-                if (step_in_epoch + 1) % cfg_t.log_interval == 0:
-                    logger.flush("train")
+            if epoch_runner is not None:
+                # ---- scanned epoch: ONE dispatch (train/epoch_scan.py) ----
+                _, idx = train_loader.epoch_index_matrix()
+                state, ema_params, stacked = epoch_runner(
+                    state, ema_params, train_loader.data,
+                    jnp.asarray(idx), jnp.int32(host_step), aug_rng,
+                )
+                fetched = jax.device_get(stacked)  # forces epoch completion
+                n_steps = int(idx.shape[0])
+                for i in range(n_steps):
+                    host_step += 1
+                    timer.step()
+                    logger.accumulate(
+                        host_step, {k: v[i] for k, v in fetched.items()}
+                    )
+                    if (i + 1) % cfg_t.log_interval == 0:
+                        logger.flush("train")
+                train_loader.advance_epoch()
+                metrics = (
+                    {k: v[-1] for k, v in fetched.items()} if n_steps else None
+                )
+            else:
+                for step_in_epoch, raw in enumerate(train_loader):
+                    if cfg_t.profile_dir and epoch == 0 and step_in_epoch == 2:
+                        jax.profiler.start_trace(cfg_t.profile_dir)
+                    # host-side step counter: int(state.step) would force a
+                    # device sync (a full tunnel RTT) every iteration
+                    step_key = jax.random.fold_in(aug_rng, host_step)
+                    batch = _device_batch(raw, train_tf, mesh, step_key)
+                    state, metrics = train_step(state, batch)
+                    if ema_params is not None:
+                        ema_params = ema_update(ema_params, state.params)
+                    host_step += 1
+                    timer.step()
+                    if cfg_t.profile_dir and epoch == 0 and step_in_epoch == 4:
+                        jax.block_until_ready(metrics)
+                        jax.profiler.stop_trace()
+                    logger.accumulate(host_step, metrics)
+                    if (step_in_epoch + 1) % cfg_t.log_interval == 0:
+                        logger.flush("train")
             logger.flush("train")
             if metrics is not None:
                 rate = timer.stop(metrics["loss"])
                 logger.scalar("Perf/images_per_sec", rate["images_per_sec"], host_step)
 
             # ---- validate ----
-            val_means, last_map, coco_val = _val_sweep(state)
-            for k, v in val_means.items():
-                logger.scalar(f"Loss/valid/{k}", v, host_step)
-            logger.scalar("Metric/mAP", last_map, host_step)
-            if coco_val is not None:
-                logger.scalar("Metric/coco_mAP", coco_val, host_step)
-            ema_val_model = None
-            if ema_params is not None:
-                ema_state = state.replace(params=ema_params)
-                ema_means, ema_map, ema_coco = _val_sweep(ema_state)
-                for k, v in ema_means.items():
-                    logger.scalar(f"Loss/valid_ema/{k}", v, host_step)
-                logger.scalar("Metric/ema_mAP", ema_map, host_step)
-                if ema_coco is not None:
-                    logger.scalar("Metric/ema_coco_mAP", ema_coco, host_step)
-                ema_val_model = ema_means.get("loss_model", np.inf)
+            do_val = (
+                (epoch + 1) % max(cfg_t.val_interval, 1) == 0
+                or epoch == cfg_t.epochs - 1
+            )
+            val_model = ema_val_model = None
+            if do_val:
+                val_means, last_map, coco_val = _val_sweep(state)
+                for k, v in val_means.items():
+                    logger.scalar(f"Loss/valid/{k}", v, host_step)
+                logger.scalar("Metric/mAP", last_map, host_step)
+                if coco_val is not None:
+                    logger.scalar("Metric/coco_mAP", coco_val, host_step)
+                if ema_params is not None:
+                    ema_state = state.replace(params=ema_params)
+                    ema_means, ema_map, ema_coco = _val_sweep(ema_state)
+                    for k, v in ema_means.items():
+                        logger.scalar(f"Loss/valid_ema/{k}", v, host_step)
+                    logger.scalar("Metric/ema_mAP", ema_map, host_step)
+                    if ema_coco is not None:
+                        logger.scalar("Metric/ema_coco_mAP", ema_coco, host_step)
+                    ema_val_model = ema_means.get("loss_model", np.inf)
+                val_model = val_means.get("loss_model", np.inf)
 
             # ---- divergence halt: never checkpoint NaN params
             if not _params_finite(state):
@@ -357,8 +403,7 @@ def train_destr(config: Config, mesh=None) -> dict:
                 break
 
             # ---- best checkpoint on lowest model val loss (train.py:123-128)
-            val_model = val_means.get("loss_model", np.inf)
-            if val_model < best_val:
+            if val_model is not None and val_model < best_val:
                 best_val = val_model
                 _try_save(
                     cfg_t.checkpoint_dir,
@@ -388,9 +433,13 @@ def train_destr(config: Config, mesh=None) -> dict:
                 if ema_val_model is not None
                 else ""
             )
+            val_note = (
+                f" val_model={val_model:.4f} mAP={last_map:.4f}"
+                if do_val
+                else ""
+            )
             print(
-                f"epoch {epoch}: {time.time() - t0:.1f}s val_model={val_model:.4f} "
-                f"mAP={last_map:.4f}{ema_note}",
+                f"epoch {epoch}: {time.time() - t0:.1f}s{val_note}{ema_note}",
                 flush=True,
             )
     except KeyboardInterrupt:
@@ -447,6 +496,24 @@ def train_ssd(config: Config, mesh=None) -> dict:
     train_tf = lambda im, bx, lb, vd, key: ssd_train_transform(
         im, bx, lb, vd, key, out_size=out_size
     )
+    epoch_runner = None
+    if cfg_t.epoch_scan:
+        if not config.data.device_cache:
+            print("epoch_scan ignored: requires --device_cache", flush=True)
+        else:
+            from .epoch_scan import make_epoch_runner
+
+            epoch_runner = make_epoch_runner(
+                make_ssd_train_step(
+                    model, tx, cfg_t, ssd_cfg, mesh=step_mesh, wrap=False
+                ),
+                lambda b, key: ssd_train_transform(
+                    b["images"], b["boxes"], b["labels"], b["valid"], key,
+                    out_size=out_size,
+                ),
+                ema_decay=cfg_t.ema_decay or None,
+                mesh=step_mesh,
+            )
     eval_tf = lambda im, bx, lb, vd: ssd_eval_transform(im, bx, lb, vd, out_size=out_size)
 
     host_step = int(jax.device_get(state.step))
@@ -488,36 +555,61 @@ def train_ssd(config: Config, mesh=None) -> dict:
     try:
         for epoch in range(cfg_t.epochs):
             t0 = time.time()
-            for step_in_epoch, raw in enumerate(train_loader):
-                step_key = jax.random.fold_in(aug_rng, host_step)
-                batch = _device_batch(raw, train_tf, mesh, step_key)
-                state, metrics = train_step(state, batch)
-                if ema_params is not None:
-                    ema_params = ema_update(ema_params, state.params)
-                host_step += 1
-                logger.accumulate(host_step, metrics)
-                if (step_in_epoch + 1) % cfg_t.log_interval == 0:
-                    logger.flush("train")
+            if epoch_runner is not None:
+                # ---- scanned epoch: ONE dispatch (train/epoch_scan.py) ----
+                _, idx = train_loader.epoch_index_matrix()
+                state, ema_params, stacked = epoch_runner(
+                    state, ema_params, train_loader.data,
+                    jnp.asarray(idx), jnp.int32(host_step), aug_rng,
+                )
+                fetched = jax.device_get(stacked)  # forces epoch completion
+                for i in range(int(idx.shape[0])):
+                    host_step += 1
+                    logger.accumulate(
+                        host_step, {k: v[i] for k, v in fetched.items()}
+                    )
+                    if (i + 1) % cfg_t.log_interval == 0:
+                        logger.flush("train")
+                train_loader.advance_epoch()
+            else:
+                for step_in_epoch, raw in enumerate(train_loader):
+                    step_key = jax.random.fold_in(aug_rng, host_step)
+                    batch = _device_batch(raw, train_tf, mesh, step_key)
+                    state, metrics = train_step(state, batch)
+                    if ema_params is not None:
+                        ema_params = ema_update(ema_params, state.params)
+                    host_step += 1
+                    logger.accumulate(host_step, metrics)
+                    if (step_in_epoch + 1) % cfg_t.log_interval == 0:
+                        logger.flush("train")
             logger.flush("train")
 
-            val_means, val_map = _val_sweep(state)
-            for k, v in val_means.items():
-                logger.scalar(f"Loss/valid/{k}", v, host_step)
-            logger.scalar("Metric/mAP", val_map, host_step)
-            ema_val_loss = None
-            if ema_params is not None:
-                ema_means, ema_map = _val_sweep(state.replace(params=ema_params))
-                for k, v in ema_means.items():
-                    logger.scalar(f"Loss/valid_ema/{k}", v, host_step)
-                logger.scalar("Metric/ema_mAP", ema_map, host_step)
-                ema_val_loss = ema_means.get("loss", np.inf)
+            do_val = (
+                (epoch + 1) % max(cfg_t.val_interval, 1) == 0
+                or epoch == cfg_t.epochs - 1
+            )
+            val_loss = ema_val_loss = None
+            val_map = np.nan
+            if do_val:
+                val_means, val_map = _val_sweep(state)
+                for k, v in val_means.items():
+                    logger.scalar(f"Loss/valid/{k}", v, host_step)
+                logger.scalar("Metric/mAP", val_map, host_step)
+                if ema_params is not None:
+                    ema_means, ema_map = _val_sweep(
+                        state.replace(params=ema_params)
+                    )
+                    for k, v in ema_means.items():
+                        logger.scalar(f"Loss/valid_ema/{k}", v, host_step)
+                    logger.scalar("Metric/ema_mAP", ema_map, host_step)
+                    ema_val_loss = ema_means.get("loss", np.inf)
+                val_loss = val_means.get("loss", np.inf)
 
             if not _params_finite(state):
                 _halt_diverged(cfg_t.save_as, epoch)
                 break
 
-            val_loss = val_means.get("loss", np.inf)
-            if val_loss < best_val:
+            if val_loss is not None and val_loss < best_val:
                 best_val = val_loss
                 _try_save(
                     cfg_t.checkpoint_dir, cfg_t.save_as, state,
@@ -539,9 +631,11 @@ def train_ssd(config: Config, mesh=None) -> dict:
                 if ema_val_loss is not None
                 else ""
             )
+            val_note = (
+                f" val={val_loss:.4f} mAP={val_map:.4f}" if do_val else ""
+            )
             print(
-                f"epoch {epoch}: {time.time() - t0:.1f}s val={val_loss:.4f} "
-                f"mAP={val_map:.4f}{ema_note}",
+                f"epoch {epoch}: {time.time() - t0:.1f}s{val_note}{ema_note}",
                 flush=True,
             )
     except KeyboardInterrupt:

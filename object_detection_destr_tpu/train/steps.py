@@ -153,8 +153,11 @@ def _match_pair(model_out: dict, det_out: dict, targets: dict):
 
 
 def make_destr_train_step(
-    model, tx, cfg: TrainConfig, mesh: Optional[Mesh] = None
+    model, tx, cfg: TrainConfig, mesh: Optional[Mesh] = None, wrap: bool = True
 ) -> Callable:
+    """``wrap=False`` returns the raw step body (collectives included when a
+    mesh is given) for embedding in a larger program — the scanned-epoch
+    runner (train/epoch_scan.py) jits/shard_maps the WHOLE epoch instead."""
     axis = _axis_of(mesh)
 
     def loss_fn(params, batch_stats, rng, batch):
@@ -201,6 +204,8 @@ def make_destr_train_step(
         new_state = state.apply_gradients(grads, tx, batch_stats=new_stats, rng=rng)
         return new_state, metrics
 
+    if not wrap:
+        return train_step
     return _wrap_step(train_step, mesh, out_specs=(P(), P()), donate=True)
 
 
@@ -257,8 +262,11 @@ def flat_anchors(ssd_cfg: SSDConfig) -> jnp.ndarray:
 
 
 def make_ssd_train_step(
-    model, tx, cfg: TrainConfig, ssd_cfg: SSDConfig, mesh: Optional[Mesh] = None
+    model, tx, cfg: TrainConfig, ssd_cfg: SSDConfig,
+    mesh: Optional[Mesh] = None, wrap: bool = True,
 ) -> Callable:
+    """``wrap=False``: raw step body for the scanned-epoch runner (see
+    make_destr_train_step)."""
     anchors = flat_anchors(ssd_cfg)
     axis = _axis_of(mesh)
 
@@ -292,6 +300,8 @@ def make_ssd_train_step(
         new_state = state.apply_gradients(grads, tx, batch_stats=new_stats, rng=rng)
         return new_state, metrics
 
+    if not wrap:
+        return train_step
     return _wrap_step(train_step, mesh, out_specs=(P(), P()), donate=True)
 
 
