@@ -147,6 +147,12 @@ class TrainConfig:
     # relay-attached chip spend more wall time in the per-batch val sweep
     # than in scanned training epochs — N>1 rebalances that.
     val_interval: int = 1
+    # Save the crash-recovery `_last` checkpoint every N epochs (validated
+    # epochs always save). 1 = every epoch (reference-equivalent safety);
+    # on a relay-attached chip each save fetches the full train state
+    # (~hundreds of MB) through the tunnel, so N>1 trades recovery
+    # granularity for epoch wall time the same way val_interval does.
+    save_interval: int = 1
     coef_class_loss: float = 0.5  # SSD class/local blend
     grad_accum_steps: int = 1  # optax.MultiSteps; 1 = off
     # AdamW update layout: "auto" | "per-leaf" | "grouped" | "flat"

@@ -100,6 +100,11 @@ def _common(p: argparse.ArgumentParser) -> None:
                    help="run the validation sweep every N epochs "
                         "(1 = reference behavior; the final epoch always "
                         "validates)")
+    p.add_argument("--save_interval", type=int, default=1,
+                   help="save the `_last` crash-recovery checkpoint every "
+                        "N epochs (validated epochs always save); on a "
+                        "relay-attached chip each save fetches the full "
+                        "train state through the tunnel")
 
 
 def get_parser(model_name: str = "destr") -> argparse.ArgumentParser:
@@ -195,6 +200,7 @@ def config_from_args(args: argparse.Namespace, model_name: str) -> Config:
         moment_dtype=getattr(args, "moment_dtype", "float32"),
         epoch_scan=getattr(args, "epoch_scan", False),
         val_interval=getattr(args, "val_interval", 1),
+        save_interval=getattr(args, "save_interval", 1),
         rng_impl=getattr(args, "rng_impl", "rbg"),
         image_size=getattr(args, "image_size", 640),
         letterbox=getattr(args, "letterbox", False),

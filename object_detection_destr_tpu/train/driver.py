@@ -421,13 +421,18 @@ def train_destr(config: Config, mesh=None) -> dict:
                     train_loader.state_dict(),
                     best_ema_val,
                 )
-            _try_save(
-                cfg_t.checkpoint_dir,
-                cfg_t.save_as + "_last",
-                state,
-                train_loader.state_dict(),
-                best_val,
-            )
+            if (
+                do_val
+                or (epoch + 1) % max(cfg_t.save_interval, 1) == 0
+                or epoch == cfg_t.epochs - 1
+            ):
+                _try_save(
+                    cfg_t.checkpoint_dir,
+                    cfg_t.save_as + "_last",
+                    state,
+                    train_loader.state_dict(),
+                    best_val,
+                )
             ema_note = (
                 f" ema_val={ema_val_model:.4f} ema_mAP={ema_map:.4f}"
                 if ema_val_model is not None
@@ -622,10 +627,15 @@ def train_ssd(config: Config, mesh=None) -> dict:
                     state.replace(params=ema_params),
                     train_loader.state_dict(), best_ema_val,
                 )
-            _try_save(
-                cfg_t.checkpoint_dir, cfg_t.save_as + "_last", state,
-                train_loader.state_dict(), best_val,
-            )
+            if (
+                do_val
+                or (epoch + 1) % max(cfg_t.save_interval, 1) == 0
+                or epoch == cfg_t.epochs - 1
+            ):
+                _try_save(
+                    cfg_t.checkpoint_dir, cfg_t.save_as + "_last", state,
+                    train_loader.state_dict(), best_val,
+                )
             ema_note = (
                 f" ema_val={ema_val_loss:.4f} ema_mAP={ema_map:.4f}"
                 if ema_val_loss is not None
