@@ -160,14 +160,111 @@ def evaluate_destr(config, checkpoint_name: str) -> dict:
     }
 
 
+def evaluate_ssd(config, checkpoint_name: str) -> dict:
+    """SSD counterpart of :func:`evaluate_destr` (same sweep the SSD
+    driver's per-epoch validation runs, driver.py::train_ssd, standalone).
+
+    Metrics: reference 11-point mAP over ``num_cls`` classes (the metric
+    the reference constructs but leaves commented out,
+    src/train/train_ssd.py:71-74) + localization diagnostics computed from
+    the decoded detections (best IoU over all 8732 anchors per GT — the
+    recall ceiling NMS/confidence can never exceed).
+    """
+    from ..data.transforms import ssd_eval_transform
+    from ..models.ssd.model import build_ssd
+    from ..parallel.mesh import auto_mesh
+    from ..train.driver import _device_batch, _make_loaders
+    from ..train.state import TrainState
+    from ..train.steps import make_ssd_eval_step
+
+    cfg_t = config.train
+    mesh = auto_mesh(cfg_t.batch_size)
+    canvas = int(config.ssd.image_size * 1.28)  # driver's patch headroom
+    _, valid_loader = _make_loaders(config, canvas, "ssd", mesh=mesh)
+
+    model = build_ssd(config.ssd)
+    variables = restore_for_inference(cfg_t.checkpoint_dir, checkpoint_name)
+    # eval_step only touches params/batch_stats; the rest are inert leaves
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables["batch_stats"],
+        opt_state=(),
+        rng=jax.random.key(0),
+    )
+    eval_step = make_ssd_eval_step(model, cfg_t, config.ssd, mesh=None)
+
+    out_size = config.ssd.image_size
+    eval_tf = lambda im, bx, lb, vd: ssd_eval_transform(
+        im, bx, lb, vd, out_size=out_size
+    )
+    metric = MeanAveragePrecision(num_cls=config.ssd.num_cls)
+    m_state = metric.init_state()
+    losses = []
+    totals: dict = {}
+    for raw in valid_loader:
+        batch = _device_batch(raw, eval_tf, mesh)
+        _, batch_losses, detections = eval_step(state, batch)
+        losses.append(batch_losses)
+        targets_xyxy = {
+            "boxes": cxcyhw_to_xyxy(batch["boxes"]),
+            "labels": batch["labels"],
+            "valid": batch["valid"],
+        }
+        m_state = metric.update(m_state, detections, targets_xyxy)
+        # localization ceiling over all anchors (host-side, tiny)
+        pred_xyxy = np.asarray(
+            cxcyhw_to_xyxy(detections["pred_boxes"]), np.float32
+        )
+        gt = np.asarray(targets_xyxy["boxes"], np.float32)
+        gt_valid = np.asarray(batch["valid"], bool)
+        iou = np.asarray(
+            pairwise_iou(jnp.asarray(pred_xyxy), jnp.asarray(gt))
+        ).max(axis=1)  # (B, T) best IoU per GT
+        totals["n_gt"] = totals.get("n_gt", 0) + int(gt_valid.sum())
+        totals["sum_best_iou"] = (
+            totals.get("sum_best_iou", 0.0) + float(iou[gt_valid].sum())
+        )
+        totals["n_gt_localized"] = (
+            totals.get("n_gt_localized", 0) + int((iou[gt_valid] >= 0.5).sum())
+        )
+        totals["n_images"] = totals.get("n_images", 0) + int(gt.shape[0])
+    if not totals:
+        raise RuntimeError(
+            "empty validation split: the loader yielded zero batches "
+            f"(num_valid_samples={config.data.num_valid_samples}, "
+            f"batch_size={cfg_t.batch_size})"
+        )
+    fetched = jax.device_get(losses)
+    n_gt = max(totals["n_gt"], 1)
+    return {
+        "checkpoint": checkpoint_name,
+        "map": metric.compute(m_state),
+        "val_loss": float(np.mean([f["loss"] for f in fetched])),
+        "gt_localized_frac": totals["n_gt_localized"] / n_gt,
+        "mean_best_iou_per_gt": totals["sum_best_iou"] / n_gt,
+        "n_gt": int(totals["n_gt"]),
+        "n_images": int(totals["n_images"]),
+    }
+
+
 def main(argv=None):
+    import sys
+
     from .. import enable_persistent_jit_cache
 
     enable_persistent_jit_cache()
-    parser = get_parser("destr")
+    argv = list(sys.argv[1:]) if argv is None else list(argv)
+    kind = "destr"
+    if "--model" in argv:  # pre-parse: flag sets determined by the model
+        i = argv.index("--model")
+        kind = argv[i + 1]
+        del argv[i : i + 2]
+    parser = get_parser(kind)
     args = parser.parse_args(argv)
-    config = config_from_args(args, "destr")
-    result = evaluate_destr(config, args.resume_from)
+    config = config_from_args(args, kind)
+    evaluate = evaluate_ssd if kind == "ssd" else evaluate_destr
+    result = evaluate(config, args.resume_from)
     print(json.dumps({k: (round(v, 5) if isinstance(v, float) else v)
                       for k, v in result.items()}))
     return result
